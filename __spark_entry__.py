@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
+``queries()`` exposes every implemented operator (SURVEY.md §2 + the
+training-data operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+(generated from the same shared constants for the corpus family — see
+data_quality_analysis_spark/oracles.py). Queries without an oracle entry
+are genuinely non-SQL-expressible (pandas-UDF models, LSH internals) and
+get the driver's rows-only check; each is additionally pytest-verified
+against a pure-Python oracle.
 """
 
 from __future__ import annotations
@@ -12,27 +15,396 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark import oracles
+from data_quality_analysis_spark.corpus import corpus_view
+from data_quality_analysis_spark.operators import dedup, relational, similarity, text
+from data_quality_analysis_spark.pipeline import run_rules
+from data_quality_analysis_spark.rules.catalog import default_catalog
+from data_quality_analysis_spark.rules.verdict import rule_rates
+
+
+# --------------------------------------------------------------- corpus --
+def _qf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_view(spark, sf_dir)
+
+
+def _qf_stage_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_analysis_spark.rules.heuristics import (
+        with_content_stats,
+        with_duplicate_flag,
+        with_heuristic_flags,
+    )
+
+    df = with_duplicate_flag(
+        with_heuristic_flags(
+            with_content_stats(corpus_view(spark, sf_dir)), default_catalog()
+        )
+    )
+    return df.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("max_line_len").cast("long").alias("max_line_len"),
+        "mean_line_len",
+        "alnum_ratio",
+        "content_sha",
+        "is_blank",
+        *[F.col(c) for c in oracles.FLAGS_EXPRS],
+    )
+
+
+def _qf_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_analysis_spark.rules.scoring import _score_udf
+
+    c = corpus_view(spark, sf_dir)
+    return (
+        c.withColumn("_s", _score_udf(F.col("content")))
+        .select(
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            F.col("_s.detected_lang").alias("detected_lang"),
+            (
+                F.col("lang").isNotNull()
+                & (F.col("_s.detected_lang") != "unknown")
+                & (F.col("_s.detected_lang") != F.col("lang"))
+            ).alias("viol_langid_mismatch"),
+            (F.col("_s.detected_lang") == "unknown").alias("viol_langid_unknown"),
+        )
+    )
+
+
+def _qf_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_analysis_spark.rules.scrub import _scrub_udf
+
+    c = corpus_view(spark, sf_dir)
+    return c.withColumn("_s", _scrub_udf(F.col("content"))).select(
+        "repo",
+        "path",
+        "commit",
+        F.sha2(F.col("_s.scrubbed"), 256).alias("scrubbed_sha"),
+        F.col("_s.n_pii_spans").alias("n_pii_spans"),
+        F.col("_s.n_blocklist").alias("n_blocklist"),
+    )
+
+
+def _qf_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = run_rules(corpus_view(spark, sf_dir))
+    return staged.select("repo", "path", "commit", "keep")
+
+
+def _qf_rule_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = run_rules(corpus_view(spark, sf_dir))
+    return rule_rates(staged, default_catalog())
+
+
+# ------------------------------------------------------- text / dedup ---
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(spark, sf_dir).select("doc_id", "fingerprint_md5")
+
+
+def _sim_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(spark, sf_dir, k=5, n_queries=3)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # corpus / quality-filter family
+    "qf_corpus": _qf_corpus,
+    "qf_stage_a": _qf_stage_a,
+    "qf_langid": _qf_langid,
+    "qf_scrubbed": _qf_scrubbed,
+    "qf_verdict": _qf_verdict,
+    "qf_rule_rates": _qf_rule_rates,
+    # relational operator inventory (SURVEY.md §2)
+    "op_group_count": relational.group_count,
+    "op_top_k": relational.top_k,
+    "op_top_k_per_group": relational.top_k_per_group,
+    "op_ratio_of_distinct": relational.ratio_of_distinct,
+    "op_anti_join": relational.anti_join,
+    "op_semi_join": relational.semi_join,
+    "op_broadcast_dim_join": relational.broadcast_dim_join,
+    "op_theta_after_join": relational.theta_after_join,
+    "op_intersect": relational.intersect_keys,
+    "op_month_lag_delta": relational.month_lag_delta,
+    "op_temporal_outlier": relational.temporal_outlier,
+    "op_conditional_rate": relational.conditional_rate,
+    "op_value_set_violations": relational.value_set_violations,
+    "op_numeric_outlier_bounds": relational.numeric_outlier_bounds,
+    "op_union_distinct": relational.union_distinct_keys,
+    "op_format_check": relational.format_check,
+    "op_hierarchy_rollup": relational.hierarchy_rollup,
+    "op_pct_of_total": relational.pct_of_total,
+    # training-data operators
+    "text_token_stats": text.token_stats,
+    "text_quality_score": text.quality_score,
+    "text_fingerprint": _text_fingerprint,
+    "text_langid": text.langid_documents,
+    "dedup_exact": dedup.exact_duplicates,
+    "dedup_keep_first": dedup.dedup_keep_first,
+    "sim_brute_topk": _sim_brute,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality-filter pipeline (verdicts) on sf0.001."""
+    staged = run_rules(corpus_view(spark, "/root/testdata/sf0.001"))
+    return staged.select(
+        "repo", "path", "commit", "lang", "detected_lang", "keep",
+        "rules_violated", "content_sha", "n_pii_spans", "perplexity",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    b = oracles._B
+    return {
+        "qf_corpus": oracles.corpus_oracle(),
+        "qf_stage_a": oracles.stage_a_oracle(),
+        "qf_langid": oracles.langid_oracle(),
+        "qf_scrubbed": oracles.scrub_oracle(),
+        "qf_verdict": oracles.verdict_oracle(),
+        # relational operators
+        "op_group_count": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(avg(l_extendedprice), 2) AS avg_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "op_top_k": """
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_partkey
+            ORDER BY cnt DESC, l_partkey ASC LIMIT 10
+        """,
+        "op_top_k_per_group": """
+            SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
+                   CAST(rn AS INT) AS rn
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY c_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+                  FROM customer)
+            WHERE rn <= 2
+        """,
+        "op_ratio_of_distinct": """
+            SELECT o_orderpriority,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_ord,
+                   round(count(DISTINCT o_custkey) * 1.0 /
+                         count(DISTINCT o_orderkey), 2) AS ratio
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "op_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        """,
+        "op_semi_join": """
+            SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        """,
+        "op_broadcast_dim_join": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+                   round(avg(CASE WHEN n_name IN ('AFRICA_0','AFRICA_1')
+                                  THEN 1.0 ELSE 0.0 END) * 100.0, 2)
+                     AS pct_allowed
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY c_mktsegment
+        """,
+        "op_theta_after_join": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_impossible
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate < o_orderdate
+            GROUP BY l_returnflag
+        """,
+        "op_intersect": """
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "op_month_lag_delta": """
+            WITH daily AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS bucket,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1)
+            SELECT bucket, cnt,
+                   cnt - lag(cnt) OVER (ORDER BY bucket) AS delta
+            FROM daily
+        """,
+        "op_temporal_outlier": """
+            WITH daily AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS bucket,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1),
+            deltas AS (
+                SELECT bucket, cnt,
+                       cnt - lag(cnt) OVER (ORDER BY bucket) AS delta
+                FROM daily),
+            nn AS (SELECT * FROM deltas WHERE delta IS NOT NULL),
+            stats AS (SELECT avg(delta) AS mu, stddev_samp(delta) AS sigma
+                      FROM nn)
+            SELECT bucket, cnt, delta FROM nn, stats
+            WHERE delta < mu - 3 * sigma OR delta > mu + 4 * sigma
+        """,
+        "op_conditional_rate": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+                   round(avg(CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END)
+                         * 100.0, 2) AS pct_high
+            FROM events GROUP BY event_type
+        """,
+        "op_value_set_violations": """
+            SELECT DISTINCT event_type FROM events
+            WHERE event_type NOT IN ('click', 'view', 'purchase')
+        """,
+        "op_numeric_outlier_bounds": """
+            WITH ranked AS (
+                SELECT l_returnflag, l_extendedprice,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_extendedprice) AS rn,
+                       count(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM lineitem),
+            med AS (
+                SELECT l_returnflag,
+                       round(l_extendedprice, 2) AS median_price
+                FROM ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)),
+            aggs AS (
+                SELECT l_returnflag,
+                       round(min(l_extendedprice), 2) AS min_price,
+                       round(max(l_extendedprice), 2) AS max_price,
+                       round(avg(l_extendedprice), 2) AS mean_price,
+                       round(stddev_samp(l_extendedprice), 2) AS sd_price
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT a.l_returnflag, min_price, max_price, mean_price,
+                   sd_price, median_price
+            FROM aggs a JOIN med m ON a.l_returnflag = m.l_returnflag
+        """,
+        "op_union_distinct": """
+            SELECT o_orderkey AS orderkey FROM orders
+            UNION
+            SELECT l_orderkey AS orderkey FROM lineitem
+        """,
+        "op_format_check": """
+            SELECT p_partkey, p_type,
+                   CAST(len(string_split(p_type, ' ')) AS INT) AS n_components
+            FROM part WHERE len(string_split(p_type, ' ')) <> 3
+        """,
+        "op_hierarchy_rollup": """
+            SELECT r_name,
+                   CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_nations,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "op_pct_of_total": """
+            WITH counts AS (
+                SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+                FROM customer GROUP BY c_mktsegment)
+            SELECT c_mktsegment, cnt,
+                   round(cnt * 100.0 / sum(cnt) OVER (), 2) AS pct
+            FROM counts
+        """,
+        # text / dedup
+        "text_token_stats": rf"""
+            SELECT doc_id,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_actual,
+                   CAST(len(list_filter(regexp_split_to_array(
+                        coalesce(text, ''), '\s+'), x -> x <> ''))
+                        AS INT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                        '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]')) AS INT)
+                        AS n_regex_tokens
+            FROM documents
+        """,
+        "text_quality_score": r"""
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            m AS (
+              SELECT doc_id,
+                length(t) AS n,
+                length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                length(regexp_replace(t, '[^.,;:!?''"()]', '', 'g')) AS n_punct,
+                len(regexp_extract_all(t, '\b(?:the|a|and|of|to|in)\b'))
+                  AS n_stop,
+                len(list_filter(regexp_split_to_array(t, '\s+'),
+                    x -> x <> '')) AS n_tokens
+              FROM base)
+            SELECT doc_id,
+              round(CASE WHEN n > 0 THEN n_alpha * 1.0 / n ELSE 0.0 END, 4)
+                AS alpha_ratio,
+              round(CASE WHEN n > 0 THEN n_punct * 1.0 / n ELSE 0.0 END, 4)
+                AS punct_ratio,
+              round(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens
+                         ELSE 0.0 END, 4) AS stop_ratio,
+              round(
+                (CASE WHEN n > 0 THEN n_alpha * 1.0 / n ELSE 0.0 END) * 0.5
+                + (CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens
+                        ELSE 0.0 END) * 0.3
+                + (1.0 - CASE WHEN n > 0 THEN n_punct * 1.0 / n
+                              ELSE 0.0 END) * 0.1
+                + (CASE WHEN n >= 50 AND n <= 10000 THEN 1.0 ELSE 0.0 END)
+                  * 0.1, 4) AS quality
+            FROM m
+        """,
+        "text_fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(coalesce(text, ''),
+                       '\s+', ' ', 'g')))) AS fingerprint_md5
+            FROM documents
+        """,
+        "dedup_exact": r"""
+            WITH hashed AS (
+              SELECT doc_id,
+                     md5(lower(trim(regexp_replace(coalesce(text, ''),
+                         '\s+', ' ', 'g')))) AS content_hash
+              FROM documents)
+            SELECT content_hash, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS keeper_doc_id
+            FROM hashed GROUP BY content_hash HAVING count(*) > 1
+        """,
+        "dedup_keep_first": r"""
+            WITH hashed AS (
+              SELECT doc_id,
+                     md5(lower(trim(regexp_replace(coalesce(text, ''),
+                         '\s+', ' ', 'g')))) AS content_hash
+              FROM documents)
+            SELECT doc_id, content_hash,
+                   doc_id = min(doc_id) OVER (PARTITION BY content_hash)
+                     AS keep
+            FROM hashed
+        """,
+        "sim_brute_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS query_vec
+              FROM embeddings ORDER BY vec_id LIMIT 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                round(
+                  list_sum(list_transform(list_zip(e.embedding, q.query_vec),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(e.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(q.query_vec,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                  AS cosine
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+            SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 5
+        """,
+        # qf_rule_rates, text_langid, sim/LSH internals: non-SQL-expressible
+        # (pandas-UDF model stages) → rows-only check + pytest oracles.
+    }

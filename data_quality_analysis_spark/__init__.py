@@ -1,0 +1,26 @@
+"""data_quality_analysis_spark — a brand-new PySpark-native quality-filter engine.
+
+Reimplements the rule-catalog idea of PEDSnet/Data-Quality-Analysis
+(reference at /root/reference, R/dplyr + RDBMS pushdown) as a code-corpus
+quality-filter pipeline over an Iceberg-shaped table
+``(repo, path, commit, lang, content)``:
+
+- Stage A: fused native-Column heuristic rules (line stats, alnum ratio,
+  size bounds, format, duplicate detection) — the CA-011/AA-010/AA-003
+  analogs (reference: Library/NumOutlier.R, Library/InvalidFormat.R,
+  Library/InconPK.R).
+- Stage B: Arrow-batched pandas-UDF scoring (deterministic language-ID and
+  char-entropy perplexity) — AA-002/CB-003 analogs (Library/InvalidConID.R,
+  Library/LabRange.R).
+- Stage C: compiled-regex PII scrub (emails, IPv4s, API keys, blocklist
+  words) with span logging; sha256-identity on clean rows.
+- Stage D: threshold catalog → keep/drop verdicts + issue rows with
+  prevalence/severity bucketing (Library/CheckFunctions.R:146-154,
+  Library/Issue.R:51-58).
+
+Everything is DataFrame-first: Catalyst handles pushdown/pruning/broadcast;
+the only custom machinery is the rule compiler, the skew-salting
+repartitioner, and the per-partition lineage/resume layer.
+"""
+
+__version__ = "0.1.0"

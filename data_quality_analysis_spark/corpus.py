@@ -1,0 +1,114 @@
+"""Corpus derivation: documents → (repo, path, commit, lang, content).
+
+The north-rule input is an Iceberg-shaped table of source files. For
+correctness checking we derive it *deterministically* from the driver's
+``documents`` testdata with planted violations, using ONE SQL text that is
+valid in BOTH Spark SQL and DuckDB — so every corpus-level query can be
+value-hash-checked against the DuckDB oracle with zero dialect drift.
+
+Planted violation classes mirror the reference's check catalog
+(/root/reference/Data/DQACatalog/DQA_Check_Type_Inventory.csv:2-38; see
+FIXTURES.md §1): empty content (BA-001 analog, Library/MissData.R:16-38),
+over-long lines (CA-011 analog, Library/NumOutlier.R:16-38), corpus-wide
+duplicate/boilerplate blocks (AA-003/CB-002 analogs, Library/InconPK.R,
+Library/UnexTop.R), PII spans (emails/IPv4/API keys/blocklist words — the
+scrub stage's targets), and missing declared language (BA-002 analog,
+Library/MissConID.R).
+
+All planting keys off ``doc_id`` arithmetic — fully deterministic, no
+randomness, reproducible at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Valid in BOTH Spark SQL and DuckDB:
+#   - STRING is a DuckDB alias for VARCHAR and Spark's native string type
+#   - chr(10) = newline in both (string literals with '\n' escape differ!)
+#   - md5 → 32-char lowercase hex in both
+#   - repeat / substr / length / CASE / % behave identically
+CORPUS_SELECT = """
+SELECT
+  CASE WHEN doc_id % 3 = 0 THEN 'bigcorp/monorepo'
+       ELSE 'org/' || source END                                   AS repo,
+  'src/f' || CAST(doc_id AS STRING) ||
+  CASE lang WHEN 'en' THEN '.py' WHEN 'es' THEN '.c'
+            WHEN 'fr' THEN '.md' WHEN 'de' THEN '.json'
+            ELSE '.txt' END                                        AS path,
+  md5(CAST(doc_id AS STRING)) ||
+  substr(md5('c' || CAST(doc_id AS STRING)), 1, 8)                 AS commit,
+  CASE WHEN doc_id % 31 = 4 THEN CAST(NULL AS STRING)
+       ELSE lang END                                               AS lang,
+  CASE
+    WHEN doc_id % 97 = 3 THEN ''
+    WHEN doc_id % 89 = 5 THEN text || chr(10) || repeat('x', 2400)
+    WHEN doc_id % 41 = 9 THEN 'MIT License boilerplate block ' ||
+                              CAST(doc_id % 5 AS STRING)
+    WHEN doc_id % 13 = 1 THEN text || chr(10) || 'contact: user' ||
+                              CAST(doc_id AS STRING) || '@example.com'
+    WHEN doc_id % 17 = 2 THEN text || chr(10) || 'connect 10.0.' ||
+                              CAST(doc_id % 256 AS STRING) || '.' ||
+                              CAST((doc_id * 7) % 256 AS STRING)
+    WHEN doc_id % 19 = 3 THEN text || chr(10) || 'api_key = "sk_live_' ||
+                              substr(md5('k' || CAST(doc_id AS STRING)), 1, 24)
+                              || '"'
+    WHEN doc_id % 23 = 4 THEN text || ' badword1 ' || text
+    ELSE text
+  END                                                              AS content
+FROM documents
+"""
+
+# DuckDB oracle prefix: paste before any corpus-level oracle SQL.
+CORPUS_CTE = f"WITH corpus AS ({CORPUS_SELECT})"
+
+
+def corpus_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the corpus from ``documents`` and register it as temp view
+    ``corpus``. Lazy; Catalyst prunes/pushes through the projection."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    df = spark.sql(CORPUS_SELECT)
+    df.createOrReplaceTempView("corpus")
+    return df
+
+
+def synthetic_corpus(
+    spark: SparkSession, sf_dir: str, replication: int = 40
+) -> DataFrame:
+    """Bench-scale corpus: replicate each document ``replication``× with a
+    per-copy suffix so content hashes stay mostly distinct, preserving the
+    skewed-repo distribution (one hot repo holds ~1/3 of files — the case
+    SURVEY.md §4 salting exists for). Deterministic: keyed on
+    (doc_id, copy). ~replication × |documents| rows; at sf0.1 and
+    replication=40 that is 200k files.
+
+    Not oracle-checked (bench only) — correctness runs on corpus_view.
+    """
+    from pyspark.sql import functions as F
+
+    base = corpus_view(spark, sf_dir)
+    copies = spark.range(replication).withColumnRenamed("id", "copy")
+    return (
+        base.crossJoin(copies)
+        .withColumn("path", F.concat("path", F.lit("."), F.col("copy").cast("string")))
+        .withColumn(
+            "commit",
+            F.concat(
+                F.md5(F.concat_ws("|", "commit", F.col("copy").cast("string"))),
+                F.substring("commit", 1, 8),
+            ),
+        )
+        .withColumn(
+            "content",
+            F.when(
+                F.col("copy") % 4 == 0, F.col("content")  # exact dupes survive
+            ).otherwise(
+                F.concat(
+                    "content", F.lit(" v"), F.col("copy").cast("string")
+                )
+            ),
+        )
+        .drop("copy")
+    )

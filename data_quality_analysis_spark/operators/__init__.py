@@ -1,0 +1,9 @@
+"""Operator inventory (SURVEY.md §2) + training-data pipeline operators.
+
+relational.py — the reference's relational surface (scans, filters, joins,
+               aggregations, windows) re-expressed DataFrame-first.
+dedup.py     — exact / MinHash-LSH / SimHash / n-gram Jaccard dedup.
+similarity.py— embedding cosine top-k (brute force + LSH-bucketed).
+text.py      — language-ID, quality scoring, token counts, fingerprints.
+multimodal.py— binary-column plumbing (decode stubbed; see module doc).
+"""

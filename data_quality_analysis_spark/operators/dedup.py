@@ -1,0 +1,210 @@
+"""Deduplication operators — exact and near-duplicate, corpus-scale.
+
+Exact dedup is a hash groupBy (one shuffle). Near-dup families:
+
+- **MinHash + LSH**: shingle → per-seed min of seeded xxhash64 → band
+  buckets → self-join on (band, bucket) → candidate pairs. Everything is
+  native Columns (xxhash64 is JVM-side); no Python in the hot path. At
+  100 TB the band-bucket self-join is the scalable path: candidates are
+  generated per-bucket, never all-pairs.
+- **SimHash**: 64-bit sign-sum over token hashes via explode + groupBy —
+  two shuffles, both combinable map-side.
+- **n-gram Jaccard**: exact verification for candidate pairs (explode
+  shingles, intersect-over-union) — used to confirm LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark.session import load_table
+
+
+def _normalized(text_col: str = "text"):
+    return F.lower(
+        F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
+    )
+
+
+def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: groups of documents sharing a content hash.
+    AA-003 analog (/root/reference/Library/InconPK.R:16-42)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(_normalized()).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup verdict: keep the min-doc_id representative per hash."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", F.md5(_normalized()).alias("content_hash"))
+    keepers = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("keeper"))
+    return hashed.join(keepers, "content_hash").select(
+        "doc_id",
+        "content_hash",
+        (F.col("doc_id") == F.col("keeper")).alias("keep"),
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Word n-gram shingles per doc: split → slide → concat. Native
+    Columns only (transform over a sequence of offsets)."""
+    toks = F.filter(F.split(_normalized(text_col), " ", -1), lambda x: x != "")
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), n_sh - 1)
+    sh = F.when(
+        n_sh > 0,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array())
+    return df.select("doc_id", F.array_distinct(sh).alias("shingles"))
+
+
+def minhash_signatures(
+    df: DataFrame, n_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """Per-seed min of seeded xxhash64 over the shingle set → signature
+    array<long> of length n_hashes. Deterministic; JVM-side."""
+    sh = shingles(df, n=shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return sh.filter(F.size("shingles") > 0).select(
+        "doc_id", sig.alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, bucket-join.
+
+    rows_per_band = n_hashes // bands. Two docs collide if any band's
+    sub-signature hashes equal. The self-join is on (band, bucket) — at
+    scale each bucket is tiny, so this is a co-partitioned join, not an
+    all-pairs blowup.
+    """
+    rpb = n_hashes // bands
+    sigs = minhash_signatures(df, n_hashes=n_hashes, shingle_n=shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", b * rpb + i + 1).cast(
+                                        "string"
+                                    )
+                                    for i in range(rpb)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, shingle_n: int = 3, threshold: float = 0.7
+) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted shingle index: explode
+    shingles, join on shingle (co-occurrence counts = |A∩B|), combine with
+    per-doc set sizes for |A∪B|. Only docs sharing ≥1 shingle ever meet —
+    no all-pairs cross join."""
+    sh = shingles(df, n=shingle_n).filter(F.size("shingles") > 0)
+    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, sign-sum each bit, sign →
+    fingerprint. Explode + two-phase groupBy (map-side combine)."""
+    toks = df.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(_normalized(text_col), " ", -1), lambda x: x != "")
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return bit_sums.select("doc_id", fp.alias("simhash"))

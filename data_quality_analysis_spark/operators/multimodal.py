@@ -1,0 +1,131 @@
+"""Multimodal column plumbing — binary payloads with typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns plus a typed
+metadata struct. The Spark-side plumbing (schema, partition sizing, Arrow
+batch shape, UDF signatures) is real and tested; the actual decode step is
+STUBBED — the codec libraries are not in this container. Each stub either
+raises ``NotImplementedError`` (strict mode) or produces a deterministic
+fake (test mode) so downstream stages exercise real data flow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("mime", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload_sha", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake media table: payload = sha256-stretched bytes of
+    the media_id. Exercises binary-column partitioning and Arrow transfer
+    without real codecs."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+    for i in range(n):
+        kind = kinds[i % 3]
+        seed = hashlib.sha256(str(i).encode()).digest()
+        payload = (seed * (8 + i % 5))[: 64 + (i * 17) % 512]
+        rows.append(
+            (
+                i,
+                kind,
+                mimes[kind],
+                64 + i % 128 if kind != "audio" else None,
+                48 + i % 96 if kind != "audio" else None,
+                1000 * (i % 30) if kind != "image" else None,
+                bytearray(payload),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """STUB — real impl would use PIL/libvips (not in this container)."""
+    raise NotImplementedError("image decode requires a codec library")
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Deterministic fake 'decode + feature-extract': bytes → fixed-dim
+    float vector via a seeded digest. Stands in for a real embedding model
+    so the distributed plumbing is testable."""
+    digest = hashlib.sha256(payload).digest()
+    arr = np.frombuffer(digest[: dim * 4], dtype=np.uint32).astype(np.float32)
+    return arr / np.float32(2**32)
+
+
+def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads — the real
+    batch shape (iterator of pandas DataFrames, Arrow-transferred binary)
+    with the decode step stubbed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real decode not available in this container"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_sha": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "n_bytes": payloads.str.len().astype("int64"),
+                    "feature": payloads.map(lambda b: _fake_feature(bytes(b)).tolist()),
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts) —
+    the explode is real; the frame decode would consume it."""
+    vids = df.filter(F.col("kind") == "video").filter(
+        F.col("duration_ms").isNotNull() & (F.col("duration_ms") > 0)
+    )
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,292 @@
+"""Relational operator inventory — SURVEY.md §2 re-expressed in DataFrame API.
+
+Each function is one operator family from the reference, as an idiomatic
+Catalyst-optimizable plan. All take (spark, sf_dir) and return a DataFrame
+whose column names match the DuckDB oracle in __spark_entry__.py exactly.
+
+Top-K queries always carry a deterministic tie-break (order by count DESC,
+key ASC) — the reference's `limit 5` SQL is nondeterministic under ties
+(/root/reference/Library/PerformDatabaseOperations.R:105-169); a
+distributed engine must not be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark.session import load_table
+
+
+def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — group-by frequency, the reference's workhorse
+    (/root/reference/Library/PerformDatabaseOperations.R:328-352)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+def top_k(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """A6 — top-K by frequency with deterministic tie-break
+    (/root/reference/Library/PerformDatabaseOperations.R:105-169)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l_partkey"))
+        .limit(k)
+    )
+
+
+def top_k_per_group(spark: SparkSession, sf_dir: str, k: int = 2) -> DataFrame:
+    """A7/W1 — top-K via row_number window
+    (/root/reference/Main/Level2/scripts/GenerateLevel2Condition.R:178-185)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rn")
+    )
+
+
+def ratio_of_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — grouped ratio of distinct counts, rounded 2dp
+    (/root/reference/Library/PerformDatabaseOperations.R:234-268)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderkey").alias("n_ord"),
+        F.round(
+            F.countDistinct("o_custkey") / F.countDistinct("o_orderkey"), 2
+        ).alias("ratio"),
+    )
+
+
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — entities with no facts (left_anti), the MissVisitFact pattern
+    (/root/reference/Library/MissVisitFact.R:41)."""
+    cust = load_table(spark, sf_dir, "customer")
+    pending = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
+    return (
+        cust.join(pending, cust.c_custkey == pending.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — IN-subquery as left_semi
+    (/root/reference/Main/Level2/Level2_queries.md:26-35)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — fact ⋈ broadcast dimension, the DrugClass pattern
+    (/root/reference/Library/DrugClass.R:23-35): % of facts whose
+    dimension attribute is in an allowlist, per group."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    allow = {"AFRICA_0", "AFRICA_1"}  # placeholder allowlist over n_name
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(
+            F.avg(F.col("n_name").isin(*allow).cast("double")) * 100.0, 2
+        ).alias("pct_allowed"),
+    )
+
+
+def theta_after_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/P7 — equi-join then date theta filter, the PostDeath/ImplEvent
+    pattern (/root/reference/Library/PostDeath.R:31-39,
+    /root/reference/Library/ImplEvent.R:23-26): lineitems shipped before
+    their order date (an impossible-event count per returnflag)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey, "inner").filter(
+        F.col("l_shipdate") < F.col("o_orderdate")
+    )
+    return j.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_impossible"))
+
+
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — inclusion-criteria intersection, the InconCohort pattern
+    (/root/reference/Library/InconCohort.R:32-56): customers having both
+    an 'O' order and an 'F' order."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return a.intersect(b)
+
+
+def month_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/W2 — calendar-month bucketing + month-over-month delta via lag,
+    the TempOutlier pattern (/root/reference/Library/TempOutlier.R:52-89)
+    — the reference emulates lag with a row-number self-join; a window
+    function needs no join at all."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bucket")
+    return daily.select(
+        "bucket",
+        "cnt",
+        (F.col("cnt") - F.lag("cnt").over(w)).alias("delta"),
+    )
+
+
+def temporal_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CA-008 full analog (/root/reference/Library/TempOutlier.R:85-104):
+    months whose MoM delta falls outside [mean-3*stddev, mean+4*stddev]
+    of all deltas. Two windows + one scalar agg, no self-join."""
+    deltas = month_lag_delta(spark, sf_dir).filter(F.col("delta").isNotNull())
+    stats = deltas.agg(
+        F.avg("delta").alias("mu"), F.stddev_samp("delta").alias("sigma")
+    )
+    j = deltas.crossJoin(F.broadcast(stats))
+    return j.filter(
+        (F.col("delta") < F.col("mu") - 3 * F.col("sigma"))
+        | (F.col("delta") > F.col("mu") + 4 * F.col("sigma"))
+    ).select("bucket", "cnt", "delta")
+
+
+def conditional_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BA-001/CA-014 pattern — conditional percentage via avg-of-cast
+    (/root/reference/Library/MissData.R:22-28): % high-value events per
+    event_type, rounded 2dp before any thresholding."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg((F.col("value") > 50).cast("double")) * 100.0, 2).alias(
+            "pct_high"
+        ),
+    )
+
+
+def value_set_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AA-001 analog (/root/reference/Library/InvalidValue.R:16-53):
+    distinct observed values not in the allowed value set — kept
+    distributed as a left_anti against the broadcast set
+    (/root/reference's setdiff happens driver-side after collect)."""
+    ev = load_table(spark, sf_dir, "events")
+    allowed = spark.createDataFrame(
+        [("click",), ("view",), ("purchase",)], "event_type string"
+    )
+    return (
+        ev.select("event_type")
+        .distinct()
+        .join(F.broadcast(allowed), "event_type", "left_anti")
+    )
+
+
+def numeric_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CA-011 analog (/root/reference/Library/NumOutlier.R:26-27) +
+    quantiles (/root/reference/Library/CreatePlots.R:421-447): min/max/
+    mean/stddev/median of a numeric field per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # Discrete median (element at rank ceil(n/2)) — interpolating medians
+    # differ at the last ulp between engines, so the oracle uses the same
+    # discrete definition.
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    med = (
+        ranked.filter(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select("l_returnflag", F.round("l_extendedprice", 2).alias("median_price"))
+    )
+    aggs = li.groupBy("l_returnflag").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 2).alias("mean_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+    )
+    return aggs.join(med, "l_returnflag").select(
+        "l_returnflag", "min_price", "max_price", "mean_price", "sd_price",
+        "median_price",
+    )
+
+
+def union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — set-union of keys from multiple fact tables
+    (/root/reference/Library/MissVisitFact.R:37-38 unions 4 fact tables'
+    visit ids)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.select(F.col("o_orderkey").alias("orderkey"))
+        .union(li.select(F.col("l_orderkey").alias("orderkey")))
+        .distinct()
+    )
+
+
+def format_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AA-010 analog (/root/reference/Library/InvalidFormat.R:31-43):
+    pipe-delimited component count per value; offenders where count != k.
+    Stand-in: space-token count of p_type must be 3."""
+    p = load_table(spark, sf_dir, "part")
+    toks = F.size(F.split(F.col("p_type"), " ", -1))
+    return (
+        p.select("p_partkey", "p_type", toks.alias("n_components"))
+        .filter(toks != 3)
+    )
+
+
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/CB-002 expansion analog (/root/reference/Library/UnexTop.R:55-68):
+    2-level hierarchy walk region→nation→customer with counts per region."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — percentage-of-total labels
+    (/root/reference/Library/CreatePlots.R:96-97): share of each
+    mktsegment, computed with a window-free two-phase agg."""
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("cnt"))
+    total = Window.partitionBy()
+    return counts.select(
+        "c_mktsegment",
+        "cnt",
+        F.round(F.col("cnt") * 100.0 / F.sum("cnt").over(total), 2).alias("pct"),
+    )
+
+
+def raw_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """S3 — raw-SQL escape hatch
+    (/root/reference/Library/InconDateTime.R:27-46)."""
+    from data_quality_analysis_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(sql)

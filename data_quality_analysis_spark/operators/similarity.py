@@ -1,0 +1,149 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+- Brute-force cosine top-k: native ``F.zip_with`` + ``F.aggregate`` dot
+  products against a broadcast query set — correct baseline, O(N·Q).
+- LSH-bucketed variant: deterministic random-hyperplane signatures (seeded
+  xxhash64-derived hyperplanes via a pandas UDF over the Arrow batch) —
+  the scale path: candidates come from matching buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from data_quality_analysis_spark.session import load_table
+
+
+def _cosine(a, b):
+    """cosine(a, b) for two array columns, all JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 3
+) -> DataFrame:
+    """Top-k cosine neighbours for the first ``n_queries`` vectors
+    (deterministic query set: lowest vec_ids), excluding self-matches.
+    Query set is broadcast; scan side stays partitioned — at 100 TB this
+    is one pass over the embeddings with a TakeOrdered per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    j = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = j.select(
+        "query_id",
+        "vec_id",
+        F.round(_cosine(F.col("embedding"), F.col("query_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+N_PLANES = 16
+_PLANE_SEED = 42
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    """Deterministic hyperplanes from a fixed-seed generator."""
+    rng = np.random.default_rng(_PLANE_SEED)
+    return rng.standard_normal((N_PLANES, dim))
+
+
+@pandas_udf(LongType())
+def _lsh_bucket_udf(emb: pd.Series) -> pd.Series:
+    mat = np.stack(emb.to_numpy())  # (n, dim) — one matmul per Arrow batch
+    planes = _hyperplanes(mat.shape[1])
+    bits = (mat @ planes.T) > 0  # (n, N_PLANES)
+    weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+    return pd.Series(bits @ weights, index=emb.index)
+
+
+def with_lsh_bucket(df: DataFrame) -> DataFrame:
+    """Random-hyperplane LSH bucket id per embedding (vectorized matmul)."""
+    return df.withColumn("bucket", _lsh_bucket_udf(F.col("embedding")))
+
+
+def lsh_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 3
+) -> DataFrame:
+    """ANN variant: candidates restricted to the query's LSH bucket, then
+    exact cosine re-rank. Recall < 1 by design; the scale path."""
+    emb = with_lsh_bucket(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.orderBy("vec_id").limit(n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    j = emb.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = j.select(
+        "query_id",
+        "vec_id",
+        F.round(_cosine(F.col("embedding"), F.col("query_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets: only vectors
+    sharing a bucket are compared (no all-pairs)."""
+    emb = with_lsh_bucket(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(_cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

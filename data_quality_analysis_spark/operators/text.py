@@ -1,0 +1,95 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data pipeline staples: token counting, quality scoring,
+language-ID, document fingerprinting. All native Column expressions —
+JVM-side, whole-stage-codegen; the only pandas-UDF text stage in the repo
+is the model scoring in rules/scoring.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark.session import load_table
+
+# BPE-ish word/symbol tokenizer: runs of word chars OR single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens + char count per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    ws_tokens = F.size(F.filter(F.split(text, r"\s+", -1), lambda x: x != ""))
+    regex_tokens = F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+    return d.select(
+        "doc_id",
+        F.length(text).alias("n_chars_actual"),
+        ws_tokens.alias("n_ws_tokens"),
+        regex_tokens.alias("n_regex_tokens"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length band + punctuation ratio + stopword
+    ratio (the reference's threshold-per-stat pattern,
+    /root/reference/Library/CheckFunctions.R:42-54, as one projection)."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    n = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()]", ""))
+    n_stop = F.size(
+        F.regexp_extract_all(text, F.lit(r"\b(?:the|a|and|of|to|in)\b"), 0)
+    )
+    n_tokens = F.size(F.filter(F.split(text, r"\s+", -1), lambda x: x != ""))
+    alpha_ratio = F.when(n > 0, n_alpha / n).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    len_ok = (n >= 50) & (n <= 10000)
+    score = (
+        alpha_ratio * 0.5
+        + stop_ratio * 0.3
+        + (1.0 - punct_ratio) * 0.1
+        + len_ok.cast("double") * 0.1
+    )
+    return d.select(
+        "doc_id",
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: xxhash64 of the whitespace-normalized text —
+    a rolling-hash stand-in that is stable under whitespace reflow. Used
+    as the near-dup prefilter key."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " "))
+    )
+    return d.select(
+        "doc_id",
+        F.xxhash64(norm).alias("fingerprint"),
+        F.md5(norm).alias("fingerprint_md5"),
+    )
+
+
+def langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID over documents via the Stage-B model (pandas UDF);
+    returns declared vs detected and the mismatch flag."""
+    from data_quality_analysis_spark.rules.scoring import _score_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("_s", _score_udf(F.col("text")))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("_s.detected_lang").alias("detected_lang"),
+            (F.col("_s.detected_lang") != F.col("lang")).alias("mismatch"),
+        )
+    )

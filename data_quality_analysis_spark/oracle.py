@@ -1,0 +1,143 @@
+"""Pure-Python reference oracle for the quality-filter pipeline.
+
+An independent, non-Spark, non-vectorized implementation of the full rule
+catalog (plain ``re`` / ``math`` / ``collections``). The pytest F1 gate
+(BASELINE.md row 1) compares the Spark pipeline's keep/drop labels and
+scrubbed text against this oracle — the sandbox stand-in for "the
+reference's labels" (the reference itself has no corpus labels; its
+semantics are the rule catalog, SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+from dataclasses import dataclass
+
+from data_quality_analysis_spark.rules.catalog import (
+    BOILERPLATE_PREFIXES,
+    BOUNDS,
+)
+from data_quality_analysis_spark.rules.scoring import LANG_PROFILES
+from data_quality_analysis_spark.rules.scrub import (
+    BLOCKLIST_PATTERN,
+    BLOCKLIST_REPLACEMENT,
+    PII_PATTERNS,
+)
+
+_LANG_RE = [(lang, re.compile(r"\b(?:" + "|".join(w) + r")\b")) for lang, w in LANG_PROFILES]
+_PII_RE = [(n, re.compile(p), r) for n, p, r in PII_PATTERNS]
+_BLOCK_RE = re.compile(BLOCKLIST_PATTERN)
+
+
+@dataclass
+class OracleRow:
+    keep: bool
+    rules_violated: list[str]
+    scrubbed: str
+    detected_lang: str
+    perplexity: float
+
+
+def detect_lang(content: str) -> str:
+    hits = [(lang, len(rx.findall(content))) for lang, rx in _LANG_RE]
+    best_lang, best = hits[0]
+    for lang, h in hits[1:]:
+        if h > best:
+            best_lang, best = lang, h
+    if best < BOUNDS["langid_min_hits"]:
+        return "unknown"
+    return best_lang
+
+
+def perplexity(content: str) -> float:
+    data = content.encode("utf-8")
+    if not data:
+        return 1.0
+    counts = Counter(data)
+    n = len(data)
+    h = -sum((c / n) * math.log2(c / n) for c in counts.values())
+    # numpy rounds half-even; match by going through the same float path
+    import numpy as np
+
+    return float(np.round(2.0**h, 4))
+
+
+def scrub(content: str) -> tuple[str, int, int]:
+    out = content
+    n_pii = 0
+    for _, rx, repl in _PII_RE:
+        n_pii += len(rx.findall(out))
+        out = rx.sub(repl, out)
+    n_block = len(_BLOCK_RE.findall(out))
+    out = _BLOCK_RE.sub(BLOCKLIST_REPLACEMENT, out)
+    return out, n_pii, n_block
+
+
+def evaluate(rows: list[dict]) -> list[OracleRow]:
+    """rows: dicts with repo/path/commit/lang/content. Returns one
+    OracleRow per input, in order."""
+    b = BOUNDS
+    sha_counts = Counter(
+        hashlib.sha256((r["content"] or "").encode()).hexdigest() for r in rows
+    )
+    out = []
+    for r in rows:
+        content = r["content"] or ""
+        lang = r["lang"]
+        viol: list[str] = []
+        lines = content.split("\n")
+        n_chars = len(content)
+        n_lines = len(lines)
+        max_line = max((len(x) for x in lines), default=0)
+        mean_line = round(n_chars / n_lines, 4) if n_lines else 0.0
+        alnum = sum(ch.isascii() and ch.isalnum() for ch in content)
+        alnum_ratio = round(alnum / n_chars, 4) if n_chars else 0.0
+        # Spark/DuckDB trim() trims ASCII spaces only — match exactly.
+        blank = len(content.strip(" ")) == 0
+        sha = hashlib.sha256(content.encode()).hexdigest()
+
+        if blank:
+            viol.append("empty_content")
+        if not blank and max_line > b["max_line_len"]:
+            viol.append("max_line_len")
+        if not blank and mean_line > b["mean_line_len"]:
+            viol.append("mean_line_len")
+        if not blank and alnum_ratio < b["min_alnum_ratio"]:
+            viol.append("alnum_ratio")
+        if not blank and n_chars < b["min_chars"]:
+            viol.append("too_small")
+        if n_chars > b["max_chars"]:
+            viol.append("too_large")
+        if not blank and sha_counts[sha] > 1:
+            viol.append("exact_duplicate")
+        if any(content.startswith(p) for p in BOILERPLATE_PREFIXES):
+            viol.append("boilerplate")
+        if lang is None:
+            viol.append("lang_missing")
+
+        det = detect_lang(content)
+        if lang is not None and det != "unknown" and det != lang:
+            viol.append("langid_mismatch")
+        if det == "unknown":
+            viol.append("langid_unknown")
+        ppl = perplexity(content)
+        if not blank and (ppl < b["perplexity_lo"] or ppl > b["perplexity_hi"]):
+            viol.append("perplexity_band")
+
+        scrubbed, n_pii, n_block = scrub(content)
+        if n_pii > 0:
+            viol.append("pii_found")
+        if n_block > 0:
+            viol.append("blocklist_word")
+
+        dropping = {
+            "empty_content", "max_line_len", "mean_line_len", "alnum_ratio",
+            "too_small", "too_large", "exact_duplicate", "boilerplate",
+            "perplexity_band", "blocklist_word",
+        }
+        keep = not any(v in dropping for v in viol)
+        out.append(OracleRow(keep, sorted(viol), scrubbed, det, ppl))
+    return out

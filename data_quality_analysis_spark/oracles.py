@@ -1,0 +1,189 @@
+"""DuckDB oracle SQL for the corpus-family queries.
+
+Generated from the SAME constants the Spark pipeline uses
+(corpus.CORPUS_SELECT, catalog.BOUNDS, scoring.LANG_PROFILES,
+scrub.PII_PATTERNS) so thresholds and patterns cannot drift. Dialect
+differences handled here: DuckDB regexp_replace needs the 'g' flag,
+list_* instead of array_*, len(regexp_extract_all(..)) instead of
+counting, and the entropy() aggregate (log2-based, verified) for the
+perplexity band.
+"""
+
+from __future__ import annotations
+
+from data_quality_analysis_spark.corpus import CORPUS_SELECT
+from data_quality_analysis_spark.rules.catalog import BOUNDS
+from data_quality_analysis_spark.rules.scoring import LANG_PROFILES
+from data_quality_analysis_spark.rules.scrub import (
+    BLOCKLIST_PATTERN,
+    BLOCKLIST_REPLACEMENT,
+    PII_PATTERNS,
+)
+
+# ---------------------------------------------------------------- stats --
+STATS_SQL = """
+SELECT repo, path, commit, lang, content,
+  CAST(length(content) AS BIGINT) AS n_chars,
+  CAST(length(content) - length(replace(content, chr(10), '')) + 1 AS BIGINT)
+    AS n_lines,
+  CAST(coalesce(list_max(list_transform(string_split(content, chr(10)),
+    x -> length(x))), 0) AS BIGINT) AS max_line_len,
+  round(length(content) * 1.0 /
+    (length(content) - length(replace(content, chr(10), '')) + 1), 4)
+    AS mean_line_len,
+  CASE WHEN length(content) > 0
+       THEN round(length(regexp_replace(content, '[^a-zA-Z0-9]', '', 'g'))
+                  * 1.0 / length(content), 4)
+       ELSE 0.0 END AS alnum_ratio,
+  sha256(content) AS content_sha,
+  length(trim(content)) = 0 AS is_blank
+FROM corpus
+"""
+
+_B = BOUNDS
+FLAGS_EXPRS = {
+    "viol_empty_content": "is_blank",
+    "viol_max_line_len": f"(NOT is_blank) AND max_line_len > {_B['max_line_len']}",
+    "viol_mean_line_len": f"(NOT is_blank) AND mean_line_len > {_B['mean_line_len']}",
+    "viol_alnum_ratio": f"(NOT is_blank) AND alnum_ratio < {_B['min_alnum_ratio']}",
+    "viol_too_small": f"(NOT is_blank) AND n_chars < {_B['min_chars']}",
+    "viol_too_large": f"n_chars > {_B['max_chars']}",
+    "viol_boilerplate": "content LIKE 'MIT License boilerplate block%'",
+    "viol_lang_missing": "lang IS NULL",
+    "viol_exact_duplicate": (
+        "(count(*) OVER (PARTITION BY content_sha)) > 1 AND NOT is_blank"
+    ),
+}
+
+_FLAG_SELECT = ",\n  ".join(f"{expr} AS {name}" for name, expr in FLAGS_EXPRS.items())
+STAGE_A_SQL = f"""
+SELECT repo, path, commit, lang, n_chars, n_lines, max_line_len,
+  mean_line_len, alnum_ratio, content_sha, is_blank,
+  {_FLAG_SELECT}
+FROM stats
+"""
+
+
+def _corpus_cte(*extra: str) -> str:
+    parts = [f"corpus AS ({CORPUS_SELECT})", f"stats AS ({STATS_SQL})"] + list(extra)
+    return "WITH " + ",\n".join(parts)
+
+
+def stage_a_oracle() -> str:
+    return _corpus_cte() + STAGE_A_SQL
+
+
+def corpus_oracle() -> str:
+    return f"WITH corpus AS ({CORPUS_SELECT}) SELECT * FROM corpus"
+
+
+# --------------------------------------------------------------- langid --
+def _langid_case() -> str:
+    """First-max-wins argmax over per-language hit counts, mirroring
+    scoring.detect_lang_batch exactly (same order, same min-hits)."""
+    hits = []
+    for lang, words in LANG_PROFILES:
+        pat = r"\b(?:" + "|".join(words) + r")\b"
+        hits.append((lang, f"len(regexp_extract_all(content, '{pat}'))"))
+    cols = ",\n  ".join(f"{expr} AS h_{lang}" for lang, expr in hits)
+    langs = [lang for lang, _ in hits]
+    greatest = "greatest(" + ", ".join(f"h_{x}" for x in langs) + ")"
+    case = [f"CASE WHEN {greatest} < {_B['langid_min_hits']} THEN 'unknown'"]
+    for i, lang in enumerate(langs):
+        rest = langs[i + 1 :]
+        if rest:
+            cond = " AND ".join(f"h_{lang} >= h_{x}" for x in rest)
+            case.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            case.append(f"ELSE '{lang}'")
+    case.append("END")
+    return cols, "\n    ".join(case)
+
+
+def langid_oracle() -> str:
+    cols, case = _langid_case()
+    hits_cte = f"hits AS (SELECT repo, path, commit, lang, content,\n  {cols}\nFROM corpus)"
+    return (
+        f"WITH corpus AS ({CORPUS_SELECT}),\n{hits_cte},\n"
+        f"det AS (SELECT repo, path, commit, lang,\n  {case} AS detected_lang FROM hits)\n"
+        "SELECT repo, path, commit, lang, detected_lang,\n"
+        "  lang IS NOT NULL AND detected_lang <> 'unknown' AND detected_lang <> lang"
+        " AS viol_langid_mismatch,\n"
+        "  detected_lang = 'unknown' AS viol_langid_unknown\nFROM det"
+    )
+
+
+# ----------------------------------------------------------- perplexity --
+# entropy() is DuckDB's log2 Shannon entropy; corpus content is ASCII so
+# char entropy == the pipeline's UTF-8 byte entropy.
+PERPLEXITY_CTE = """
+perp AS (
+  SELECT repo, path, commit,
+         round(pow(2.0, coalesce(entropy(c), 0.0)), 4) AS perplexity
+  FROM (SELECT repo, path, commit,
+               unnest(string_split(content, '')) AS c
+        FROM corpus)
+  GROUP BY repo, path, commit
+)
+"""
+
+
+# ---------------------------------------------------------------- scrub --
+def _scrub_chain(col: str) -> tuple[str, list[str]]:
+    """Chained regexp_replace mirroring scrub.scrub_batch order; returns
+    (final_expr, per-step count exprs against the progressively-scrubbed
+    text, exactly as the pipeline counts them)."""
+    cur = col
+    counts = []
+    for _, pat, repl in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({cur}, '{pat}'))")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    block_count = f"len(regexp_extract_all({cur}, '{BLOCKLIST_PATTERN}'))"
+    cur = f"regexp_replace({cur}, '{BLOCKLIST_PATTERN}', '{BLOCKLIST_REPLACEMENT}', 'g')"
+    return cur, counts + [block_count]
+
+
+def scrub_oracle() -> str:
+    final, counts = _scrub_chain("content")
+    pii_sum = " + ".join(counts[:-1])
+    return (
+        f"WITH corpus AS ({CORPUS_SELECT})\n"
+        f"SELECT repo, path, commit, sha256({final}) AS scrubbed_sha,\n"
+        f"  CAST({pii_sum} AS BIGINT) AS n_pii_spans,\n"
+        f"  CAST({counts[-1]} AS BIGINT) AS n_blocklist\nFROM corpus"
+    )
+
+
+# -------------------------------------------------------------- verdict --
+DROPPING_FLAGS = [
+    "viol_empty_content",
+    "viol_max_line_len",
+    "viol_mean_line_len",
+    "viol_alnum_ratio",
+    "viol_too_small",
+    "viol_too_large",
+    "viol_exact_duplicate",
+    "viol_boilerplate",
+]
+
+
+def verdict_oracle() -> str:
+    """Full keep/drop incl. perplexity band + blocklist word."""
+    drop = " OR ".join(DROPPING_FLAGS)
+    return (
+        _corpus_cte(PERPLEXITY_CTE.strip())
+        + f"""
+, flags AS (SELECT repo, path, commit, content, is_blank,
+    {_FLAG_SELECT}
+  FROM stats)
+SELECT f.repo, f.path, f.commit,
+  NOT ({drop}
+       OR (regexp_matches(f.content, '{BLOCKLIST_PATTERN}'))
+       OR ((NOT f.is_blank) AND
+           (p.perplexity < {_B['perplexity_lo']}
+            OR p.perplexity > {_B['perplexity_hi']})))
+  AS keep
+FROM flags f JOIN perp p
+  ON f.repo = p.repo AND f.path = p.path AND f.commit = p.commit
+"""
+    )

@@ -1,0 +1,103 @@
+"""End-to-end quality-filter DAG.
+
+One pass over the corpus: salted repo-hash repartition → Stage A fused
+heuristics → duplicate window → Stage B pandas-UDF scoring → Stage C scrub
+→ Stage D verdicts/issues. The reference runs 19 sequential per-table
+reports each with many RDBMS round-trips
+(/root/reference/Main/Level1/Execute_Level1_PEDSnet_DQA.R:62-70); here the
+whole catalog evaluates in a single DataFrame DAG — two shuffles total
+(the explicit repartition and the duplicate-hash window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark.rules.catalog import RuleCatalog, default_catalog
+from data_quality_analysis_spark.rules.heuristics import (
+    with_content_stats,
+    with_duplicate_flag,
+    with_heuristic_flags,
+)
+from data_quality_analysis_spark.rules.scoring import with_scores
+from data_quality_analysis_spark.rules.scrub import with_scrub
+from data_quality_analysis_spark.rules.verdict import (
+    issues_from_rates,
+    rule_rates,
+    with_verdict,
+)
+
+KEY_COLS = ("repo", "path", "commit")
+
+
+def salted_repartition(
+    df: DataFrame, num_partitions: int | None = None, n_salt: int = 16
+) -> DataFrame:
+    """Repo-hash repartition with built-in salting (SURVEY.md §4).
+
+    A hot repo (the north rule's skew case: one repo holding ≥30% of
+    files) would serialize the scoring stage if we partitioned by
+    ``hash(repo)`` alone. Salting by ``hash(path) % n_salt`` spreads each
+    repo over ``n_salt`` partitions while keeping locality for everything
+    else. Verdicts are per-file, so salting cannot change results
+    (partitioning-invariance is property-tested).
+    """
+    salt = F.pmod(F.xxhash64("path"), F.lit(n_salt))
+    key = F.xxhash64(F.col("repo"), salt)
+    return df.repartition(num_partitions, key) if num_partitions else df.repartition(key)
+
+
+def run_rules(df: DataFrame, catalog: RuleCatalog | None = None) -> DataFrame:
+    """Corpus DataFrame → per-file verdict DataFrame (all stages fused)."""
+    catalog = catalog or default_catalog()
+    staged = with_content_stats(df)
+    staged = with_heuristic_flags(staged, catalog)
+    staged = with_duplicate_flag(staged)
+    staged = with_scores(staged)
+    staged = with_scrub(staged)
+    return with_verdict(staged, catalog)
+
+
+def verdicts(df: DataFrame, catalog: RuleCatalog | None = None) -> DataFrame:
+    """The product table: key columns + verdict + scrubbed content hash."""
+    full = run_rules(df, catalog)
+    return full.select(
+        *KEY_COLS,
+        "lang",
+        "detected_lang",
+        "keep",
+        "rules_violated",
+        "content_sha",
+        F.sha2(F.col("scrubbed_content"), 256).alias("scrubbed_sha"),
+        "scrubbed_content",
+        "n_pii_spans",
+        "perplexity",
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    catalog: RuleCatalog | None = None,
+    num_partitions: int | None = None,
+    data_version: str = "r1",
+) -> tuple[DataFrame, DataFrame]:
+    """(verdicts, issues) for a corpus DataFrame."""
+    catalog = catalog or default_catalog()
+    staged = run_rules(salted_repartition(corpus, num_partitions), catalog)
+    v = staged.select(
+        *KEY_COLS,
+        "lang",
+        "detected_lang",
+        "keep",
+        "rules_violated",
+        "content_sha",
+        F.sha2(F.col("scrubbed_content"), 256).alias("scrubbed_sha"),
+        "scrubbed_content",
+        "n_pii_spans",
+        "perplexity",
+    )
+    rates = rule_rates(staged, catalog)
+    iss = issues_from_rates(spark, rates, catalog, data_version=data_version)
+    return v, iss

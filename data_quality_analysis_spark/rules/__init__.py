@@ -1,0 +1,11 @@
+"""Rule stages of the quality-filter pipeline.
+
+Stage A (heuristics)  → native Column expressions, fused into one select
+Stage B (scoring)     → Arrow-batched pandas UDFs (langid, perplexity)
+Stage C (scrub)       → compiled-regex PII scrub pandas UDF
+Stage D (verdict)     → threshold catalog → keep/drop + issue rows
+"""
+
+from data_quality_analysis_spark.rules.catalog import Rule, RuleCatalog, default_catalog
+
+__all__ = ["Rule", "RuleCatalog", "default_catalog"]

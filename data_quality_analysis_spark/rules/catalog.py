@@ -1,0 +1,135 @@
+"""Rule catalog — the reference's check-catalog pattern rebuilt.
+
+The reference drives every check from a master CSV catalog plus per-check
+threshold CSVs (/root/reference/Infrastructure/GlobalConstants.R:35-36,
+/root/reference/Library/CheckFunctions.R:21-90): construction reads the
+catalog entry, execution compares a computed statistic to
+Lower_Threshold/Upper_Threshold, a violation emits an Issue row
+(/root/reference/Library/Issue.R:2-17).
+
+Here each rule is ``Rule(code, name, stat column, drops_file, corpus
+thresholds)``. Two evaluation grains, matching the reference's two uses:
+
+- **file grain**: the rule's boolean flag per file → keep/drop verdict
+  (the quality-filter product; ``drops_file`` rules participate).
+- **corpus grain**: 100 × violation-rate compared to [lower, upper]
+  thresholds → one issue row per out-of-band rule (the DQA analog of
+  per-(table, field) issues), with the reference's prevalence bucketing
+  (/root/reference/Library/CheckFunctions.R:146-154).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Rule:
+    code: str  # e.g. "QF-BA-001" — reference check-code style
+    name: str
+    description: str
+    drops_file: bool  # does a file-level violation drop the file?
+    lower: float | None = None  # corpus-level % violation thresholds
+    upper: float | None = None
+    ref: str = ""  # reference file:line this rule is the analog of
+    params: dict = field(default_factory=dict)
+
+
+# Tunable heuristic bounds (CA-011 threshold-CSV analog,
+# /root/reference/Data/DQACatalog/CA-011_implausible_numerical_values.csv).
+BOUNDS = {
+    "max_line_len": 1000,
+    "mean_line_len": 400.0,
+    "min_alnum_ratio": 0.25,
+    "min_chars": 10,
+    "max_chars": 200_000,
+    "perplexity_lo": 2.0,
+    "perplexity_hi": 64.0,
+    "langid_min_hits": 2,  # stopword hits below this → 'unknown'
+}
+
+BOILERPLATE_PREFIXES = ["MIT License boilerplate block"]
+
+
+def default_catalog() -> "RuleCatalog":
+    r = [
+        Rule("QF-BA-001", "empty_content",
+             "content empty or whitespace-only", True, upper=5.0,
+             ref="Library/MissData.R:16-38"),
+        Rule("QF-CA-011a", "max_line_len",
+             f"max line length > {BOUNDS['max_line_len']}", True, upper=5.0,
+             ref="Library/NumOutlier.R:16-38"),
+        Rule("QF-CA-011b", "mean_line_len",
+             f"mean line length > {BOUNDS['mean_line_len']}", True, upper=5.0,
+             ref="Library/NumOutlier.R:16-38"),
+        Rule("QF-CA-011c", "alnum_ratio",
+             f"alphanumeric ratio < {BOUNDS['min_alnum_ratio']}", True, upper=5.0,
+             ref="Library/NumOutlier.R:16-38"),
+        Rule("QF-CA-011d", "too_small",
+             f"non-empty content < {BOUNDS['min_chars']} chars", True, upper=5.0,
+             ref="Library/NumOutlier.R:16-38"),
+        Rule("QF-CA-011e", "too_large",
+             f"content > {BOUNDS['max_chars']} chars", True, upper=2.0,
+             ref="Library/NumOutlier.R:16-38"),
+        Rule("QF-AA-003", "exact_duplicate",
+             "content sha256 duplicated under a different (repo,path,commit)",
+             True, upper=10.0, ref="Library/InconPK.R:16-42"),
+        Rule("QF-CB-002", "boilerplate",
+             "content matches corpus-wide boilerplate prefix list", True,
+             upper=5.0, ref="Library/UnexTop.R:16-132"),
+        Rule("QF-BA-002", "lang_missing",
+             "declared lang is NULL", False, upper=10.0,
+             ref="Library/MissConID.R:16-41"),
+        Rule("QF-AA-002", "langid_mismatch",
+             "model-detected language != declared lang", False, upper=60.0,
+             ref="Library/InvalidConID.R:17-49"),
+        Rule("QF-BA-002b", "langid_unknown",
+             "language model returned no confident label", False, upper=20.0,
+             ref="Library/MissConID.R:16-41"),
+        Rule("QF-CB-003", "perplexity_band",
+             "char-entropy perplexity outside "
+             f"[{BOUNDS['perplexity_lo']}, {BOUNDS['perplexity_hi']}]", True,
+             upper=10.0, ref="Library/LabRange.R:16-46"),
+        Rule("QF-PII-001", "pii_found",
+             "PII span scrubbed (email / IPv4 / API key)", False, upper=40.0,
+             ref="north rule scrub stage"),
+        Rule("QF-TOX-001", "blocklist_word",
+             "blocklist word present", True, upper=10.0,
+             ref="north rule scrub stage"),
+    ]
+    return RuleCatalog(r)
+
+
+class RuleCatalog:
+    def __init__(self, rules: list[Rule]):
+        self.rules = list(rules)
+        by_name = {r.name: r for r in self.rules}
+        if len(by_name) != len(self.rules):
+            raise ValueError("duplicate rule names in catalog")
+        self.by_name = by_name
+
+    def flag_cols(self) -> list[str]:
+        return [f"viol_{r.name}" for r in self.rules]
+
+    def dropping(self) -> list[Rule]:
+        return [r for r in self.rules if r.drops_file]
+
+    def __iter__(self):
+        return iter(self.rules)
+
+    def __len__(self):
+        return len(self.rules)
+
+
+def prevalence_bucket(value: float) -> str:
+    """Reference semantics verbatim (/root/reference/Library/
+    CheckFunctions.R:146-154): abs ≤1 low, <30 medium, <100 high, else full.
+    """
+    v = abs(value)
+    if v <= 1:
+        return "low"
+    if v < 30:
+        return "medium"
+    if v < 100:
+        return "high"
+    return "full"

@@ -1,0 +1,95 @@
+"""Stage A — heuristic rules as one fused native-Column projection.
+
+The reference runs each check as a separate SQL round-trip to the RDBMS
+(/root/reference/Main/Level1/Execute_Level1_PEDSnet_DQA.R:62-70 loops
+tables; each retrieve_dataframe_* is its own query). Here all stateless
+per-file statistics fuse into a single ``select`` so one scan of the corpus
+feeds every rule — whole-stage codegen keeps the entire stage JVM-side.
+
+The only cross-row rule (exact-duplicate detection, AA-003 analog
+/root/reference/Library/InconPK.R:16-42) is a window count over the
+content hash, partitioned by ``content_sha`` — a single shuffle that also
+serves the dedup operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark.rules.catalog import (
+    BOILERPLATE_PREFIXES,
+    BOUNDS,
+    RuleCatalog,
+)
+
+NEWLINE = "\n"
+
+
+def with_content_stats(df: DataFrame, content: str = "content") -> DataFrame:
+    """Fused per-file statistics. One projection; no shuffle."""
+    c = F.col(content)
+    lines = F.split(c, NEWLINE, -1)
+    n_chars = F.length(c)
+    n_lines = F.size(lines)
+    alnum = F.length(F.regexp_replace(c, "[^a-zA-Z0-9]", ""))
+    return df.select(
+        "*",
+        n_chars.alias("n_chars"),
+        n_lines.alias("n_lines"),
+        F.coalesce(F.array_max(F.transform(lines, F.length)), F.lit(0)).alias(
+            "max_line_len"
+        ),
+        F.when(n_lines > 0, F.round(n_chars / n_lines, 4))
+        .otherwise(F.lit(0.0))
+        .alias("mean_line_len"),
+        F.when(n_chars > 0, F.round(alnum / n_chars, 4))
+        .otherwise(F.lit(0.0))
+        .alias("alnum_ratio"),
+        F.sha2(c, 256).alias("content_sha"),
+        (F.length(F.trim(c)) == 0).alias("is_blank"),
+    )
+
+
+def with_heuristic_flags(df: DataFrame, catalog: RuleCatalog) -> DataFrame:
+    """Per-file boolean ``viol_*`` columns for every Stage-A rule.
+
+    Expects the stat columns from :func:`with_content_stats`. Still one
+    projection — Catalyst folds it into the same codegen stage.
+    """
+    b = BOUNDS
+    boiler = F.lit(False)
+    for p in BOILERPLATE_PREFIXES:
+        boiler = boiler | F.col("content").startswith(p)
+    flags = {
+        "viol_empty_content": F.col("is_blank"),
+        "viol_max_line_len": ~F.col("is_blank")
+        & (F.col("max_line_len") > b["max_line_len"]),
+        "viol_mean_line_len": ~F.col("is_blank")
+        & (F.col("mean_line_len") > b["mean_line_len"]),
+        "viol_alnum_ratio": ~F.col("is_blank")
+        & (F.col("alnum_ratio") < b["min_alnum_ratio"]),
+        "viol_too_small": ~F.col("is_blank") & (F.col("n_chars") < b["min_chars"]),
+        "viol_too_large": F.col("n_chars") > b["max_chars"],
+        "viol_boilerplate": boiler,
+        "viol_lang_missing": F.col("lang").isNull(),
+    }
+    out = df
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    return out
+
+
+def with_duplicate_flag(df: DataFrame) -> DataFrame:
+    """AA-003 analog: same content hash under >1 file key → duplicate.
+
+    Window over ``content_sha`` (one hash shuffle). At 100 TB this is the
+    pipeline's big exchange; AQE splits skewed hash buckets (a corpus-wide
+    boilerplate hash is exactly such a bucket). Blank content is exempt —
+    the empty_content rule owns that case.
+    """
+    w = Window.partitionBy("content_sha")
+    return df.withColumn(
+        "viol_exact_duplicate",
+        (F.count(F.lit(1)).over(w) > 1) & ~F.col("is_blank"),
+    )

@@ -1,0 +1,116 @@
+"""Stage B — model scoring via Arrow-batched pandas UDFs.
+
+The reference's vocabulary-conformance checks join facts to broadcast
+dimension tables (/root/reference/Library/InvalidConID.R:17-49,
+/root/reference/Library/LabRange.R:23-35). The quality-filter analogs are
+broadcast *models*: a stopword-profile language identifier (fastText
+stand-in) and a char-entropy perplexity scorer (KenLM stand-in). Both are
+deterministic and dependency-free so results are reproducible across
+partitionings and Python versions (SURVEY.md §7.3 hard parts).
+
+No per-row Python: langid uses pandas ``.str.count`` (C-level regex over
+the whole batch) and perplexity uses a numpy byte-histogram
+(``np.add.at`` over all rows of the Arrow batch at once).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from data_quality_analysis_spark.rules.catalog import BOUNDS
+
+# Stopword profiles — the "model". Order matters: ties break to the
+# earliest entry, and the same order is used by the pure-Python oracle
+# (data_quality_analysis_spark/oracle.py) that gates F1.
+LANG_PROFILES: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "a", "and", "of", "fast", "slow", "small", "big", "order")),
+    ("es", ("el", "la", "los", "una", "datos", "con", "para")),
+    ("fr", ("le", "les", "des", "une", "avec", "pour", "donnees")),
+    ("de", ("der", "die", "das", "und", "mit", "daten", "fuer")),
+    ("zh", ("shuju", "biao", "lian", "chaxun", "hang")),
+]
+LANG_ORDER = [lang for lang, _ in LANG_PROFILES]
+LANG_REGEXES = {
+    lang: r"\b(?:" + "|".join(words) + r")\b" for lang, words in LANG_PROFILES
+}
+
+
+def detect_lang_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized language ID over one Arrow batch."""
+    s = texts.fillna("")
+    hits = np.stack(
+        [s.str.count(LANG_REGEXES[lang]).to_numpy() for lang in LANG_ORDER]
+    )  # (n_langs, n_rows)
+    best = hits.argmax(axis=0)  # first max wins the tie
+    best_hits = hits.max(axis=0)
+    out = np.array(LANG_ORDER, dtype=object)[best]
+    out[best_hits < BOUNDS["langid_min_hits"]] = "unknown"
+    return pd.Series(out, index=texts.index)
+
+
+def perplexity_batch(texts: pd.Series) -> pd.Series:
+    """Char-entropy perplexity (2^H over the UTF-8 byte distribution),
+    rounded to 4dp. Whole batch at once via a (rows × 256) histogram."""
+    s = texts.fillna("")
+    encoded = s.str.encode("utf-8")
+    lens = encoded.str.len().to_numpy(dtype=np.int64)
+    n = len(s)
+    if n == 0:
+        return pd.Series([], dtype=float, index=texts.index)
+    allbytes = np.frombuffer(b"".join(encoded.to_numpy()), dtype=np.uint8)
+    row_idx = np.repeat(np.arange(n), lens)
+    counts = np.zeros((n, 256), dtype=np.float64)
+    np.add.at(counts, (row_idx, allbytes), 1.0)
+    denom = np.maximum(lens, 1).astype(np.float64)[:, None]
+    p = counts / denom
+    logp = np.log2(p, where=p > 0, out=np.zeros_like(p))
+    entropy = -(p * logp).sum(axis=1)
+    return pd.Series(np.round(np.power(2.0, entropy), 4), index=texts.index)
+
+
+_SCORE_SCHEMA = StructType(
+    [
+        StructField("detected_lang", StringType()),
+        StructField("perplexity", DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_SCORE_SCHEMA)
+def _score_udf(content: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "detected_lang": detect_lang_batch(content),
+            "perplexity": perplexity_batch(content),
+        }
+    )
+
+
+def with_scores(df: DataFrame) -> DataFrame:
+    """Attach detected_lang / perplexity and the Stage-B rule flags."""
+    b = BOUNDS
+    scored = df.withColumn("_score", _score_udf(F.col("content"))).select(
+        "*", "_score.detected_lang", "_score.perplexity"
+    ).drop("_score")
+    return (
+        scored.withColumn(
+            "viol_langid_mismatch",
+            F.col("lang").isNotNull()
+            & (F.col("detected_lang") != "unknown")
+            & (F.col("detected_lang") != F.col("lang")),
+        )
+        .withColumn("viol_langid_unknown", F.col("detected_lang") == "unknown")
+        .withColumn(
+            "viol_perplexity_band",
+            ~F.col("is_blank")
+            & (
+                (F.col("perplexity") < b["perplexity_lo"])
+                | (F.col("perplexity") > b["perplexity_hi"])
+            ),
+        )
+    )

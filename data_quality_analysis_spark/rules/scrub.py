@@ -1,0 +1,92 @@
+"""Stage C — compiled-regex PII/toxicity scrub.
+
+North-rule requirement: scrub emails, IPv4s, API-key-shaped tokens and
+blocklist words; every clean row must round-trip byte-identical
+(sha256-equal, BASELINE.json input_hint). Scrub is idempotent by
+construction: no replacement token can itself match any pattern.
+
+Vectorized with pandas ``.str.replace(regex=True)`` over each Arrow batch —
+the compiled patterns live once per executor, not per row. The blocklist is
+a placeholder list (configurable); real deployments broadcast their own.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+# (name, pattern, replacement) — order is the scrub order.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (
+        "api_key",
+        r"\b(?:sk_live_|sk_test_|AKIA|ghp_|xox[baprs]-)[A-Za-z0-9_\-]{8,}\b",
+        "<API_KEY>",
+    ),
+]
+BLOCKLIST_WORDS = ("badword1", "badword2", "badword3")
+BLOCKLIST_PATTERN = r"\b(?:" + "|".join(BLOCKLIST_WORDS) + r")\b"
+BLOCKLIST_REPLACEMENT = "<BLOCKED>"
+
+_COMPILED_PII = [(n, re.compile(p), r) for n, p, r in PII_PATTERNS]
+_COMPILED_BLOCK = re.compile(BLOCKLIST_PATTERN)
+
+
+def scrub_batch(texts: pd.Series) -> pd.DataFrame:
+    """Scrub one Arrow batch. Returns scrubbed text + per-class span counts."""
+    s = texts.fillna("")
+    n_pii = pd.Series(0, index=s.index, dtype="int64")
+    out = s
+    for _, pat, repl in _COMPILED_PII:
+        hits = out.str.count(pat)
+        n_pii = n_pii + hits
+        # only pay the replace where something matched
+        mask = hits > 0
+        if mask.any():
+            out = out.mask(mask, out[mask].str.replace(pat, repl, regex=True))
+    n_block = out.str.count(_COMPILED_BLOCK)
+    mask = n_block > 0
+    if mask.any():
+        out = out.mask(
+            mask, out[mask].str.replace(_COMPILED_BLOCK, BLOCKLIST_REPLACEMENT, regex=True)
+        )
+    return pd.DataFrame(
+        {
+            "scrubbed": out,
+            "n_pii_spans": n_pii.astype("int64"),
+            "n_blocklist": n_block.astype("int64"),
+        }
+    )
+
+
+_SCRUB_SCHEMA = StructType(
+    [
+        StructField("scrubbed", StringType()),
+        StructField("n_pii_spans", LongType()),
+        StructField("n_blocklist", LongType()),
+    ]
+)
+
+
+@pandas_udf(_SCRUB_SCHEMA)
+def _scrub_udf(content: pd.Series) -> pd.DataFrame:
+    return scrub_batch(content)
+
+
+def with_scrub(df: DataFrame) -> DataFrame:
+    """Attach scrubbed content + Stage-C rule flags."""
+    out = df.withColumn("_scrub", _scrub_udf(F.col("content"))).select(
+        "*",
+        F.col("_scrub.scrubbed").alias("scrubbed_content"),
+        F.col("_scrub.n_pii_spans").alias("n_pii_spans"),
+        F.col("_scrub.n_blocklist").alias("n_blocklist"),
+    ).drop("_scrub")
+    return out.withColumn("viol_pii_found", F.col("n_pii_spans") > 0).withColumn(
+        "viol_blocklist_word", F.col("n_blocklist") > 0
+    )

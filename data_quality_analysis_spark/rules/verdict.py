@@ -1,0 +1,107 @@
+"""Stage D — verdicts + issue rows from the threshold catalog.
+
+File grain: any ``drops_file`` rule violated → drop; ``rules_violated``
+carries the sorted rule-name array (the per-file analog of the reference's
+finding text, /root/reference/Library/Issue.R:33-63).
+
+Corpus grain: one aggregation computes every rule's violation rate in a
+single pass (sum of casted flags), unpivots to one row per rule, joins the
+broadcast catalog thresholds, and emits the reference's 8-column issue
+shape (/root/reference/Library/Issue.R:51-58,
+/root/reference/Library/CheckFunctions.R:160-170) with prevalence
+bucketing (/root/reference/Library/CheckFunctions.R:146-154).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark.rules.catalog import RuleCatalog
+
+
+def with_verdict(df: DataFrame, catalog: RuleCatalog) -> DataFrame:
+    """Attach ``keep`` and ``rules_violated``; one fused projection."""
+    drop_flags = [F.col(f"viol_{r.name}") for r in catalog.dropping()]
+    any_drop = reduce(or_, drop_flags)
+    tagged = F.array(
+        *[
+            F.when(F.col(f"viol_{r.name}"), F.lit(r.name))
+            for r in catalog
+        ]
+    )
+    return df.withColumn("keep", ~F.coalesce(any_drop, F.lit(False))).withColumn(
+        "rules_violated",
+        F.array_sort(F.filter(tagged, lambda x: x.isNotNull())),
+    )
+
+
+def rule_rates(df: DataFrame, catalog: RuleCatalog) -> DataFrame:
+    """Single-pass violation rates: one agg, then unpivot to
+    (rule_name, violations, total, pct). Rounded 2dp before thresholding,
+    matching the reference's round-then-compare order
+    (/root/reference/Library/MissData.R:25-28)."""
+    aggs = [F.count(F.lit(1)).alias("_total")] + [
+        F.sum(F.col(f"viol_{r.name}").cast("long")).alias(r.name) for r in catalog
+    ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{r.name}', {r.name}" for r in catalog)
+    return wide.select(
+        F.col("_total").alias("total"),
+        F.expr(f"stack({len(catalog)}, {stack_expr}) as (rule_name, violations)"),
+    ).select(
+        "rule_name",
+        "violations",
+        "total",
+        F.round(F.col("violations") * 100.0 / F.col("total"), 2).alias("pct"),
+    )
+
+
+def issues_from_rates(
+    spark: SparkSession,
+    rates: DataFrame,
+    catalog: RuleCatalog,
+    data_version: str = "r1",
+    table: str = "corpus",
+    field: str = "content",
+) -> DataFrame:
+    """Out-of-band rules → issue rows (reference 8-column shape)."""
+    cat_rows = [
+        (r.name, r.code, r.description, r.lower, r.upper) for r in catalog
+    ]
+    cat_df = spark.createDataFrame(
+        cat_rows, "rule_name string, code string, description string, "
+        "lower double, upper double"
+    )
+    joined = rates.join(F.broadcast(cat_df), "rule_name")
+    out_of_band = joined.filter(
+        (F.col("lower").isNotNull() & (F.col("pct") < F.col("lower")))
+        | (F.col("upper").isNotNull() & (F.col("pct") > F.col("upper")))
+    )
+    prevalence = (
+        F.when(F.abs(F.col("pct")) <= 1, "low")
+        .when(F.abs(F.col("pct")) < 30, "medium")
+        .when(F.abs(F.col("pct")) < 100, "high")
+        .otherwise("full")
+    )
+    return out_of_band.select(
+        F.lit(data_version).alias("data_version"),
+        F.lit(table).alias("table"),
+        F.lit(field).alias("field"),
+        F.col("code").alias("issue_code"),
+        F.col("description").alias("issue_description"),
+        F.col("rule_name").alias("alias"),
+        F.concat(
+            F.lit("violation rate "),
+            F.col("pct").cast("string"),
+            F.lit("% ("),
+            F.col("violations").cast("string"),
+            F.lit("/"),
+            F.col("total").cast("string"),
+            F.lit(")"),
+        ).alias("finding"),
+        prevalence.alias("prevalence"),
+    )

@@ -1,0 +1,28 @@
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from data_quality_analysis_spark.session import get_spark  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="pytest", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus_rows(spark):
+    """sf0.001 corpus rows as plain dicts (input to the pure-Python oracle)."""
+    from data_quality_analysis_spark.corpus import corpus_view
+
+    df = corpus_view(spark, SF_SMOKE)
+    return [r.asDict() for r in df.collect()]

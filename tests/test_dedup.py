@@ -1,0 +1,88 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark.operators import dedup
+from tests.conftest import SF_SMOKE
+
+
+def _toy_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest looking for food and shelter tonight"
+    )
+    near = base.replace("quick", "speedy")  # one token differs
+    rows = [
+        (1, base),
+        (2, base),            # exact dup of 1
+        (3, near),            # near dup of 1
+        (4, "completely different content about spark dataframes and shuffles"),
+        (5, "another unrelated short text mentioning nothing similar at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_toy(spark):
+    df = _toy_docs(spark)
+    hashed = df.select("doc_id", F.md5(F.col("text")).alias("h"))
+    groups = hashed.groupBy("h").count().filter("count > 1").collect()
+    assert len(groups) == 1 and groups[0]["count"] == 2
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(_toy_docs(spark), threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_lsh_candidates_cover_near_dups(spark):
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(
+            _toy_docs(spark), n_hashes=32, bands=16
+        ).collect()
+    }
+    # exact dup always collides; near dup (jaccard ~0.85) collides with
+    # 16 bands of 2 rows w.p. 1-(1-0.85^2)^16 ≈ 1-1e-9 — deterministic here
+    assert (1, 2) in cands
+    assert (1, 3) in cands
+    assert (4, 5) not in cands
+
+
+def test_minhash_deterministic_across_partitioning(spark):
+    df = _toy_docs(spark)
+    s1 = {
+        r["doc_id"]: r["signature"]
+        for r in dedup.minhash_signatures(df).collect()
+    }
+    s2 = {
+        r["doc_id"]: r["signature"]
+        for r in dedup.minhash_signatures(df.repartition(7)).collect()
+    }
+    assert s1 == s2
+    assert s1[1] == s1[2]  # exact dups share a signature
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_toy_docs(spark)).collect()}
+    assert sh[1] == sh[2]
+    ham = bin((sh[1] ^ sh[3]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((sh[1] ^ sh[4]) & ((1 << 64) - 1)).count("1")
+    assert ham < ham_far
+    assert ham <= 16
+
+
+def test_dedup_keep_first_keeps_exactly_one_per_group(spark):
+    out = dedup.dedup_keep_first(spark, SF_SMOKE)
+    per_group = (
+        out.groupBy("content_hash")
+        .agg(F.sum(F.col("keep").cast("int")).alias("n_keep"))
+        .collect()
+    )
+    assert all(r["n_keep"] == 1 for r in per_group)

@@ -1,0 +1,48 @@
+"""Multimodal plumbing tests: binary columns, Arrow batches, stubs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from data_quality_analysis_spark.operators import multimodal
+
+
+def test_feature_extraction_deterministic(spark):
+    media = multimodal.synthetic_media(spark, n=24)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 24
+    by_id = {r["media_id"]: r for r in feats}
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, row in by_id.items():
+        assert row["payload_sha"] == hashlib.sha256(raw[mid]).hexdigest()
+        assert row["n_bytes"] == len(raw[mid])
+        assert len(row["feature"]) == 8
+        assert all(0.0 <= f <= 1.0 for f in row["feature"])
+    # determinism across partitionings
+    feats2 = multimodal.extract_features(media.repartition(6)).collect()
+    assert {r["media_id"]: r["feature"] for r in feats2} == {
+        r["media_id"]: r["feature"] for r in feats
+    }
+
+
+def test_strict_mode_raises(spark):
+    media = multimodal.synthetic_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.extract_features(media, strict=True).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    durations = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.filter("kind = 'video' AND duration_ms > 0").collect()
+    }
+    counts = {}
+    for r in plan:
+        counts[r["media_id"]] = counts.get(r["media_id"], 0) + 1
+    assert set(counts) == set(durations)
+    for mid, d in durations.items():
+        assert counts[mid] == (d - 1) // 1000 + 1

@@ -1,0 +1,44 @@
+"""Every queries() entry with an oracle_sql() entry must match DuckDB at
+sf0.001 — the local mirror of the driver's correctness gate (fast subset;
+tools/validate_oracles.py runs the full sf0.01 sweep)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.validate_oracles import compare, duck_connection
+from tests.conftest import SF_SMOKE
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(ORACLES[name]).fetchdf()
+    errs = compare(name, sdf, ddf)
+    assert not errs, f"{name}: {errs}"
+
+
+def test_every_query_runs_and_is_stable(spark):
+    """Queries without oracles still must run and return a stable schema."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_SMOKE)
+        assert df.columns, name
+        df.limit(5).collect()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "keep" in df.columns

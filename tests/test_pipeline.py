@@ -1,0 +1,139 @@
+"""Pipeline correctness gates (BASELINE.md): F1 vs pure-Python oracle,
+sha256 pass-through fidelity, scrub idempotence, partitioning invariance."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark import oracle as pyoracle
+from data_quality_analysis_spark.corpus import corpus_view
+from data_quality_analysis_spark.pipeline import run_rules, salted_repartition
+from tests.conftest import SF_SMOKE
+
+
+def _key(r):
+    return (r["repo"], r["path"], r["commit"])
+
+
+def test_keep_f1_vs_oracle(spark, corpus_rows):
+    expected = {
+        _key(r): o for r, o in zip(corpus_rows, pyoracle.evaluate(corpus_rows))
+    }
+    got = run_rules(corpus_view(spark, SF_SMOKE)).select(
+        "repo", "path", "commit", "keep", "rules_violated", "detected_lang"
+    ).collect()
+    assert len(got) == len(expected)
+    tp = fp = fn = agree = 0
+    for row in got:
+        exp = expected[_key(row)]
+        if row["keep"] == exp.keep:
+            agree += 1
+        if row["keep"] and exp.keep:
+            tp += 1
+        elif row["keep"] and not exp.keep:
+            fp += 1
+        elif not row["keep"] and exp.keep:
+            fn += 1
+        assert sorted(row["rules_violated"]) == exp.rules_violated, (
+            _key(row), sorted(row["rules_violated"]), exp.rules_violated)
+        assert row["detected_lang"] == exp.detected_lang
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.99, f"keep/drop F1 {f1} < 0.99"
+    assert agree == len(got)  # in practice: exact agreement
+
+
+def test_scrubbed_text_sha_fidelity(spark, corpus_rows):
+    """Pass-through rows must be byte-identical (sha256-equal); scrubbed
+    rows must match the oracle's scrubbed text exactly."""
+    expected = {
+        _key(r): o for r, o in zip(corpus_rows, pyoracle.evaluate(corpus_rows))
+    }
+    got = run_rules(corpus_view(spark, SF_SMOKE)).select(
+        "repo", "path", "commit", "content", "scrubbed_content", "n_pii_spans"
+    ).collect()
+    n_clean = n_scrubbed = 0
+    for row in got:
+        exp = expected[_key(row)]
+        assert row["scrubbed_content"] == exp.scrubbed, _key(row)
+        if row["scrubbed_content"] == row["content"]:
+            n_clean += 1
+            assert (
+                hashlib.sha256(row["content"].encode()).hexdigest()
+                == hashlib.sha256(row["scrubbed_content"].encode()).hexdigest()
+            )
+        else:
+            n_scrubbed += 1
+    assert n_clean > 0 and n_scrubbed > 0  # corpus plants both classes
+
+
+def test_scrub_idempotent(spark):
+    """scrub(scrub(x)) == scrub(x): replacement tokens never re-match."""
+    from data_quality_analysis_spark.rules.scrub import scrub_batch
+    import pandas as pd
+
+    texts = pd.Series(
+        [
+            "mail me at a.b@example.com or 10.1.2.3",
+            'key = "sk_live_abcdefgh12345678" badword1',
+            "clean text with nothing to scrub",
+            "",
+        ]
+    )
+    once = scrub_batch(texts)["scrubbed"]
+    twice = scrub_batch(once)["scrubbed"]
+    assert list(once) == list(twice)
+
+
+def test_verdicts_invariant_under_partitioning(spark):
+    """Salting / partition count must not change any verdict
+    (SURVEY.md §5 property tests)."""
+    base = corpus_view(spark, SF_SMOKE)
+    v1 = {
+        _key(r): (r["keep"], tuple(r["rules_violated"]))
+        for r in run_rules(base).select(
+            "repo", "path", "commit", "keep", "rules_violated"
+        ).collect()
+    }
+    for nparts, nsalt in [(2, 1), (16, 64)]:
+        df = salted_repartition(base, num_partitions=nparts, n_salt=nsalt)
+        v2 = {
+            _key(r): (r["keep"], tuple(r["rules_violated"]))
+            for r in run_rules(df).select(
+                "repo", "path", "commit", "keep", "rules_violated"
+            ).collect()
+        }
+        assert v1 == v2
+
+
+def test_issue_rows_shape(spark):
+    """Issue rows carry the reference's 8-column shape
+    (Library/Issue.R:51-58) and valid prevalence buckets."""
+    from data_quality_analysis_spark.pipeline import run_pipeline
+
+    _, issues = run_pipeline(spark, corpus_view(spark, SF_SMOKE))
+    rows = issues.collect()
+    assert issues.columns == [
+        "data_version", "table", "field", "issue_code",
+        "issue_description", "alias", "finding", "prevalence",
+    ]
+    for r in rows:
+        assert r["prevalence"] in {"low", "medium", "high", "full"}
+        assert r["issue_code"].startswith("QF-")
+
+
+def test_prevalence_bucketing_matches_reference():
+    """/root/reference/Library/CheckFunctions.R:146-154 semantics."""
+    from data_quality_analysis_spark.rules.catalog import prevalence_bucket
+
+    assert prevalence_bucket(0.5) == "low"
+    assert prevalence_bucket(1.0) == "low"
+    assert prevalence_bucket(1.01) == "medium"
+    assert prevalence_bucket(29.99) == "medium"
+    assert prevalence_bucket(30) == "high"
+    assert prevalence_bucket(99.9) == "high"
+    assert prevalence_bucket(100) == "full"
+    assert prevalence_bucket(-5) == "medium"

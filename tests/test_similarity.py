@@ -1,0 +1,65 @@
+"""Similarity-search tests: brute-force vs numpy oracle, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from data_quality_analysis_spark.operators import similarity
+from data_quality_analysis_spark.session import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _numpy_topk(spark, k=5, n_queries=3):
+    rows = load_table(spark, SF_SMOKE, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    out = {}
+    for qi in range(n_queries):
+        sims = (mat @ mat[qi]) / (norms * norms[qi])
+        order = sorted(
+            [(round(s, 6), i) for i, s in zip(ids, sims) if i != ids[qi]],
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        out[int(ids[qi])] = [(int(i), s) for s, i in order]
+    return out
+
+
+def test_brute_force_matches_numpy(spark):
+    expected = _numpy_topk(spark)
+    got = similarity.brute_force_topk(spark, SF_SMOKE, k=5, n_queries=3).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    assert set(by_q) == set(expected)
+    for q in expected:
+        got_ids = [i for i, _ in by_q[q]]
+        exp_ids = [i for i, _ in expected[q]]
+        assert got_ids == exp_ids, (q, got_ids, exp_ids)
+        for (gi, gc), (ei, ec) in zip(by_q[q], expected[q]):
+            assert abs(gc - ec) < 1e-6
+
+
+def test_lsh_topk_subset_of_bruteforce_space(spark):
+    """LSH results must be genuine vectors with exact cosines; recall<1 ok."""
+    got = similarity.lsh_topk(spark, SF_SMOKE, k=5, n_queries=3).collect()
+    for r in got:
+        assert -1.0 <= r["cosine"] <= 1.0
+        assert r["vec_id"] != r["query_id"]
+
+
+def test_lsh_bucket_deterministic(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    b1 = {r["vec_id"]: r["bucket"] for r in similarity.with_lsh_bucket(emb).collect()}
+    b2 = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.with_lsh_bucket(emb.repartition(5)).collect()
+    }
+    assert b1 == b2
+
+
+def test_embedding_near_dup_self_consistency(spark):
+    pairs = similarity.embedding_near_dup(spark, SF_SMOKE, threshold=0.99).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine"] >= 0.99

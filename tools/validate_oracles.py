@@ -1,0 +1,110 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()[name]`` on Spark and the matching
+``oracle_sql()[name]`` on DuckDB at the given sf dir, compares row count +
+column names + order-insensitive values (stringified, sorted). Exits
+nonzero on any mismatch. Usage:
+
+    python tools/validate_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from data_quality_analysis_spark.session import TESTDATA_TABLES, get_spark  # noqa: E402
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = pd.DataFrame()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            out[c] = col.map(lambda v: "NULL" if v is None else str(v))
+        elif str(col.dtype).startswith(("float", "Float")):
+            out[c] = col.map(lambda v: "NULL" if pd.isna(v) else repr(round(float(v), 9)))
+        elif str(col.dtype).startswith(("bool", "boolean")):
+            out[c] = col.map(lambda v: "NULL" if pd.isna(v) else str(bool(v)))
+        else:
+            out[c] = col.map(lambda v: "NULL" if pd.isna(v) else str(v))
+    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    errs = []
+    if len(spark_df) != len(duck_df):
+        errs.append(f"rowcount spark={len(spark_df)} duck={len(duck_df)}")
+    sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
+    if sc != dc:
+        errs.append(f"columns spark={sc} duck={dc}")
+        return errs
+    a, b = canon(spark_df), canon(duck_df)
+    if len(a) == len(b):
+        neq = (a != b).any(axis=1)
+        if neq.any():
+            i = neq.idxmax()
+            errs.append(
+                f"value mismatch at sorted-row {i}:\n  spark={a.iloc[i].to_dict()}\n  duck ={b.iloc[i].to_dict()}"
+            )
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="validate-oracles")
+    con = duck_connection(sf_dir)
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            status = "rows-only"
+            print(f"ok   {name}: {len(sdf)} rows ({status})")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        errs = compare(name, sdf, ddf)
+        if errs:
+            print(f"FAIL {name}: " + "; ".join(errs))
+            failed.append(name)
+        else:
+            print(f"ok   {name}: {len(sdf)} rows (oracle match)")
+    spark.stop()
+    if failed:
+        print(f"\n{len(failed)} FAILED: {failed}")
+        return 1
+    print("\nall oracle checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
