@@ -88,7 +88,15 @@ def synthetic_corpus(
     """
     from pyspark.sql import functions as F
 
-    base = corpus_view(spark, sf_dir)
+    # The sf* documents table is one small parquet file → a single scan
+    # task; without this repartition the whole corpus derivation
+    # (crossJoin × md5 × concat) would run serially in that one task and
+    # serialize the bench at high core counts. Spreading the 5k base docs
+    # across defaultParallelism tasks parallelizes generation.
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView("documents")
+    base = spark.sql(CORPUS_SELECT)
     copies = spark.range(replication).withColumnRenamed("id", "copy")
     return (
         base.crossJoin(copies)

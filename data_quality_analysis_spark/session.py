@@ -34,10 +34,28 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Local mode: driver == sole executor. The 1g default heap forces
+        # constant GC with 32 task threads (measured: 2× run-to-run
+        # variance); size it like a real executor instead. Overridable
+        # via SPARK_GRAFT_DRIVER_MEM; ignored when a JVM already exists.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
         # AQE: runtime shuffle-partition coalescing + skew-join splitting.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing is byte-based, but this pipeline's task cost is
+        # per-ROW (Arrow-batched Python stages) and source code compresses
+        # ~10-30×: compressed shuffle bytes wildly under-estimate task
+        # cost. With the default 1 MiB floor AQE collapsed the
+        # content_sha window exchange to 2 partitions and serialized the
+        # scoring/scrub stage (measured: no speedup local[8]→local[32]).
+        # A 64 KiB floor keeps parallelism-first coalescing at
+        # defaultParallelism; harmless at 100 TB where partitions are
+        # orders of magnitude larger.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         # Arrow transfer for every pandas UDF stage (Stage B/C).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
