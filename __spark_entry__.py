@@ -113,6 +113,44 @@ def _sim_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(spark, sf_dir, k=5, n_queries=3)
 
 
+def _qf_bucket_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-work-partition metrics (the lineage layer's commit payload).
+    Rows-only: bucket id uses xxhash64 (no DuckDB equivalent); the resume
+    semantics are pytest-verified in tests/test_lineage.py."""
+    from data_quality_analysis_spark.lineage import with_bucket
+    from data_quality_analysis_spark.pipeline import run_rules
+
+    staged = run_rules(with_bucket(corpus_view(spark, sf_dir), 16))
+    return (
+        staged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum("n_pii_spans").alias("n_pii_spans"),
+            F.countDistinct("repo").alias("n_repos"),
+        )
+    )
+
+
+def _mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads → mapInPandas feature
+    extraction (decode stubbed; see operators/multimodal.py). Rows-only:
+    synthetic media table, no SQL equivalent for the Arrow-batch stage."""
+    from data_quality_analysis_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=64)
+    return multimodal.extract_features(media).select(
+        "media_id", "kind", "payload_sha", "n_bytes"
+    )
+
+
+def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_analysis_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=64)
+    return multimodal.frame_sample_plan(media)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus / quality-filter family
     "qf_corpus": _qf_corpus,
@@ -140,6 +178,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_format_check": relational.format_check,
     "op_hierarchy_rollup": relational.hierarchy_rollup,
     "op_pct_of_total": relational.pct_of_total,
+    "op_date_align": relational.date_align,
+    # quality-filter extras
+    "qf_boilerplate_topk": dedup.corpus_top_hashes,
+    "qf_bucket_metrics": _qf_bucket_metrics,
     # training-data operators
     "text_token_stats": text.token_stats,
     "text_quality_score": text.quality_score,
@@ -147,7 +189,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": text.langid_documents,
     "dedup_exact": dedup.exact_duplicates,
     "dedup_keep_first": dedup.dedup_keep_first,
+    "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+    "dedup_ngram_jaccard": dedup.ngram_jaccard,
+    "dedup_simhash": dedup.simhash_fingerprints,
     "sim_brute_topk": _sim_brute,
+    "sim_lsh_topk": similarity.lsh_topk,
+    "sim_embedding_near_dup": similarity.embedding_near_dup,
+    # multimodal plumbing
+    "mm_media_features": _mm_media_features,
+    "mm_frame_sample": _mm_frame_sample,
 }
 
 
@@ -314,6 +364,20 @@ def oracle_sql() -> dict[str, str]:
                    round(cnt * 100.0 / sum(cnt) OVER (), 2) AS pct
             FROM counts
         """,
+        "op_date_align": """
+            WITH mx AS (SELECT event_type, max(ts) AS max_ts
+                        FROM events GROUP BY event_type),
+            g AS (SELECT max(max_ts) AS global_max FROM mx)
+            SELECT event_type,
+                   strftime(max_ts, '%Y-%m-%d %H:%M:%S') AS max_ts_s,
+                   CAST(date_diff('day', CAST(max_ts AS DATE),
+                                  CAST(global_max AS DATE)) AS BIGINT)
+                     AS days_behind,
+                   date_diff('day', CAST(max_ts AS DATE),
+                             CAST(global_max AS DATE)) > 14 AS misaligned
+            FROM mx, g
+        """,
+        "qf_boilerplate_topk": oracles.boilerplate_topk_oracle(),
         # text / dedup
         "text_token_stats": rf"""
             SELECT doc_id,
@@ -371,6 +435,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT content_hash, CAST(count(*) AS BIGINT) AS n_docs,
                    min(doc_id) AS keeper_doc_id
             FROM hashed GROUP BY content_hash HAVING count(*) > 1
+        """,
+        "text_langid": oracles.langid_documents_oracle(),
+        "dedup_ngram_jaccard": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(trim(regexp_replace(
+                       coalesce(text, ''), '\s+', ' ', 'g'))), ' '),
+                       x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    FOR i IN generate_series(1, len(toks) - 2)])
+                       AS shingles
+              FROM norm WHERE len(toks) >= 3),
+            sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+            inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS n_inter
+              FROM inv a JOIN inv b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4)
+                     AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.7
         """,
         "dedup_keep_first": r"""
             WITH hashed AS (

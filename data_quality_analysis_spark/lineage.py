@@ -1,0 +1,241 @@
+"""Checkpointed execution: per-partition lineage + metrics + resume.
+
+North-rule requirement: the pipeline must be "resumable from checkpoint
+with per-partition lineage + metrics". The reference's analog is its
+cross-cycle CSV state — previous-run totals read back to detect drift
+(/root/reference/Library/DocumentationModules.R:179-247) and the
+UnexDiff checks built on it (/root/reference/Library/UnexDiff.R:16-39,
+/root/reference/Library/UnexDiffFactType.R:16-43).
+
+Design (write-then-commit, exactly-once per bucket):
+
+- The corpus is split into ``n_buckets`` logical work partitions by
+  ``pmod(xxhash64(repo), n_buckets)`` — all files of a repo land in one
+  bucket, so bucket outputs are self-contained.
+- Buckets are processed in batches; each batch is ONE Spark job that
+  writes ``{out}/verdicts/bucket=<b>/`` via partitionBy (dynamic
+  partition overwrite → idempotent re-runs), then ONE aggregation job
+  computes the batch's per-bucket metrics, and only THEN is each
+  bucket's lineage marker committed to ``{out}/lineage/bucket_<b>.json``.
+  A crash between write and commit re-runs the bucket; overwrite makes
+  that safe.
+- Resume = list markers, skip completed buckets. No driver-side
+  per-row work; the driver only handles O(n_buckets) bookkeeping.
+
+At 100 TB: n_buckets ~ 2-10k (10-50 GB of corpus per bucket), batches
+sized so one batch saturates the cluster. Lineage markers are tiny JSON
+objects on the object store — the same pattern as a Hive/Iceberg commit
+manifest, kept engine-local so resume needs no catalog service.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark.pipeline import KEY_COLS, run_rules
+from data_quality_analysis_spark.rules.catalog import RuleCatalog, default_catalog
+
+BUCKET_COL = "bucket"
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Deterministic work-partition id: same repo → same bucket."""
+    return df.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64("repo"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _lineage_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "lineage")
+
+
+def _marker_path(out_dir: str, bucket: int) -> str:
+    return os.path.join(_lineage_dir(out_dir), f"bucket_{bucket:05d}.json")
+
+
+def completed_buckets(out_dir: str) -> set[int]:
+    d = _lineage_dir(out_dir)
+    if not os.path.isdir(d):
+        return set()
+    out = set()
+    for name in os.listdir(d):
+        if name.startswith("bucket_") and name.endswith(".json"):
+            out.add(int(name[len("bucket_") : -len(".json")]))
+    return out
+
+
+@dataclass
+class RunReport:
+    n_buckets: int
+    ran: list[int]
+    skipped: list[int]
+    wall_sec: float
+
+
+def run_with_lineage(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    n_buckets: int = 16,
+    batch_size: int = 8,
+    catalog: RuleCatalog | None = None,
+    data_version: str = "r1",
+    fail_after_batches: int | None = None,
+) -> RunReport:
+    """Run the quality-filter pipeline bucket-by-bucket with resume.
+
+    ``fail_after_batches`` injects a crash after N committed batches —
+    used by the resume-equivalence tests (full run ≡ crashed run +
+    resume).
+    """
+    catalog = catalog or default_catalog()
+    t0 = time.perf_counter()
+    done = completed_buckets(out_dir)
+    pending = [b for b in range(n_buckets) if b not in done]
+    ran: list[int] = []
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    os.makedirs(_lineage_dir(out_dir), exist_ok=True)
+    verdict_path = os.path.join(out_dir, "verdicts")
+
+    bucketed = with_bucket(corpus, n_buckets)
+    batches = [
+        pending[i : i + batch_size] for i in range(0, len(pending), batch_size)
+    ]
+    for batch_no, batch in enumerate(batches):
+        part = bucketed.filter(F.col(BUCKET_COL).isin(batch))
+        staged = run_rules(part, catalog)
+        result = staged.select(
+            BUCKET_COL,
+            *KEY_COLS,
+            "lang",
+            "detected_lang",
+            "keep",
+            "rules_violated",
+            "content_sha",
+            F.sha2(F.col("scrubbed_content"), 256).alias("scrubbed_sha"),
+            "scrubbed_content",
+            "n_pii_spans",
+            "perplexity",
+        )
+        # 1) data lands (dynamic overwrite → idempotent on re-run) ...
+        result.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+            verdict_path
+        )
+        # 2) ... metrics computed from the just-written output (reading
+        # back what was committed, not what we intended to write) ...
+        written = spark.read.parquet(verdict_path).filter(
+            F.col(BUCKET_COL).isin(batch)
+        )
+        metrics_rows = (
+            written.groupBy(BUCKET_COL)
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                F.sum("n_pii_spans").alias("n_pii_spans"),
+                F.countDistinct("repo").alias("n_repos"),
+            )
+            .collect()
+        )
+        by_bucket = {r[BUCKET_COL]: r.asDict() for r in metrics_rows}
+        # 3) ... then the commit markers.
+        for b in batch:
+            m = by_bucket.get(b, {BUCKET_COL: b, "n_files": 0, "n_kept": 0,
+                                  "n_pii_spans": 0, "n_repos": 0})
+            marker = {
+                "bucket": b,
+                "data_version": data_version,
+                "committed_at": time.time(),
+                "metrics": {k: v for k, v in m.items() if k != BUCKET_COL},
+            }
+            tmp = _marker_path(out_dir, b) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(marker, f)
+            os.replace(tmp, _marker_path(out_dir, b))
+            ran.append(b)
+        if fail_after_batches is not None and batch_no + 1 >= fail_after_batches:
+            raise RuntimeError(
+                f"injected failure after batch {batch_no} (test hook)"
+            )
+    return RunReport(
+        n_buckets=n_buckets,
+        ran=ran,
+        skipped=sorted(done),
+        wall_sec=round(time.perf_counter() - t0, 3),
+    )
+
+
+def read_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "verdicts"))
+
+
+def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Lineage markers as a DataFrame (bucket, data_version, metrics.*)."""
+    d = _lineage_dir(out_dir)
+    rows = []
+    for b in sorted(completed_buckets(out_dir)):
+        with open(_marker_path(out_dir, b)) as f:
+            m = json.load(f)
+        rows.append(
+            (
+                m["bucket"],
+                m["data_version"],
+                int(m["metrics"]["n_files"]),
+                int(m["metrics"]["n_kept"]),
+                int(m["metrics"]["n_pii_spans"]),
+                int(m["metrics"]["n_repos"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "bucket int, data_version string, n_files long, n_kept long, "
+        "n_pii_spans long, n_repos long",
+    )
+
+
+def metrics_drift(
+    current: DataFrame,
+    previous: DataFrame,
+    pct_threshold: float = 25.0,
+) -> DataFrame:
+    """CA-005/CA-015 analog: per-bucket drift between two runs.
+
+    The reference computes 100*(cur-prev)/prev against thresholds
+    (/root/reference/Library/DocumentationModules.R:207-210,
+    /root/reference/Library/UnexDiff.R:25-33); here per bucket and per
+    metric (file count and keep rate), emitting one row per out-of-band
+    (bucket, metric).
+    """
+    cur = current.select(
+        "bucket",
+        F.col("n_files").alias("cur_files"),
+        F.col("n_kept").alias("cur_kept"),
+    )
+    prev = previous.select(
+        "bucket",
+        F.col("n_files").alias("prev_files"),
+        F.col("n_kept").alias("prev_kept"),
+    )
+    j = cur.join(prev, "bucket", "full_outer")
+    pct = lambda c, p: F.round(  # noqa: E731
+        100.0 * (F.col(c) - F.col(p)) / F.nullif(F.col(p), F.lit(0)), 2
+    )
+    drift = j.select(
+        "bucket",
+        pct("cur_files", "prev_files").alias("files_pct_change"),
+        pct("cur_kept", "prev_kept").alias("kept_pct_change"),
+    )
+    return drift.filter(
+        F.coalesce(F.abs(F.col("files_pct_change")), F.lit(1e9)) > pct_threshold
+    ).unionByName(
+        drift.filter(
+            F.coalesce(F.abs(F.col("kept_pct_change")), F.lit(1e9))
+            > pct_threshold
+        )
+    ).distinct()

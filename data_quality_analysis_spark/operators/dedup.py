@@ -208,3 +208,50 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseXOR(term)
     return bit_sums.select("doc_id", fp.alias("simhash"))
+
+
+# ----------------------------------------------------- driver wrappers --
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs over documents (rows-only check:
+    xxhash64 has no DuckDB equivalent; recall vs exact Jaccard is
+    pytest-verified in tests/test_dedup.py)."""
+    return lsh_candidate_pairs(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.7 (oracle-checked vs DuckDB)."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only: xxhash64-based)."""
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def corpus_top_hashes(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """CB-002 analog (/root/reference/Library/UnexTop.R:16-132): top-K
+    most-duplicated content hashes, flagged against the corpus-wide
+    boilerplate prefix list. One hash-groupBy (map-side combinable) +
+    TakeOrdered — no full sort at scale."""
+    from functools import reduce
+    from operator import or_
+
+    from data_quality_analysis_spark.corpus import corpus_view
+    from data_quality_analysis_spark.rules.catalog import BOILERPLATE_PREFIXES
+
+    c = corpus_view(spark, sf_dir)
+    boiler = reduce(
+        or_, [F.col("content").startswith(p) for p in BOILERPLATE_PREFIXES]
+    )
+    return (
+        c.groupBy(F.sha2(F.col("content"), 256).alias("content_sha"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.bool_or(boiler).alias("is_boilerplate"),
+        )
+        .filter(F.col("n_files") > 1)
+        .orderBy(F.desc("n_files"), F.asc("content_sha"))
+        .limit(k)
+    )

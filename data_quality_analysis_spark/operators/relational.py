@@ -290,3 +290,25 @@ def raw_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(sql)
+
+
+def date_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CA-017 analog (/root/reference/Library/DateAlign.R:16-64): per
+    event_type max timestamp vs the global max; gaps > 14 days flag the
+    shard as lagging. Two tiny aggs — the global max is a 1-row broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(F.max("ts").alias("max_ts"))
+    global_max = per_type.agg(F.max("max_ts").alias("global_max"))
+    return (
+        per_type.crossJoin(F.broadcast(global_max))
+        .select(
+            "event_type",
+            F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("max_ts_s"),
+            F.datediff(F.to_date("global_max"), F.to_date("max_ts"))
+            .cast("long")
+            .alias("days_behind"),
+            (
+                F.datediff(F.to_date("global_max"), F.to_date("max_ts")) > 14
+            ).alias("misaligned"),
+        )
+    )

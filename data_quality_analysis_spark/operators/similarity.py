@@ -2,9 +2,9 @@
 
 - Brute-force cosine top-k: native ``F.zip_with`` + ``F.aggregate`` dot
   products against a broadcast query set — correct baseline, O(N·Q).
-- LSH-bucketed variant: deterministic random-hyperplane signatures (seeded
-  xxhash64-derived hyperplanes via a pandas UDF over the Arrow batch) —
-  the scale path: candidates come from matching buckets only.
+- Banded LSH variant: deterministic seeded random-hyperplane sign bits,
+  grouped into bands (OR-of-ANDs) via one matmul per Arrow batch — the
+  scale path: candidates come from matching band buckets only.
 """
 
 from __future__ import annotations
@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 from data_quality_analysis_spark.session import load_table
 
@@ -68,47 +68,79 @@ def brute_force_topk(
     )
 
 
-N_PLANES = 16
+N_BANDS = 4
+PLANES_PER_BAND = 4
 _PLANE_SEED = 42
 
 
 def _hyperplanes(dim: int) -> np.ndarray:
     """Deterministic hyperplanes from a fixed-seed generator."""
     rng = np.random.default_rng(_PLANE_SEED)
-    return rng.standard_normal((N_PLANES, dim))
+    return rng.standard_normal((N_BANDS * PLANES_PER_BAND, dim))
 
 
-@pandas_udf(LongType())
-def _lsh_bucket_udf(emb: pd.Series) -> pd.Series:
-    mat = np.stack(emb.to_numpy())  # (n, dim) — one matmul per Arrow batch
+@pandas_udf(ArrayType(LongType()))
+def _lsh_band_buckets_udf(emb: pd.Series) -> pd.Series:
+    """Banded random-hyperplane LSH (one matmul per Arrow batch): the
+    sign-bit matrix is split into N_BANDS groups of PLANES_PER_BAND bits;
+    element b of the result is band b's bucket id. Two vectors are
+    candidates if ANY band matches — the OR-of-ANDs construction that
+    gives banded LSH its recall (same shape as MinHash banding in
+    operators/dedup.lsh_candidate_pairs)."""
+    mat = np.stack(emb.to_numpy())  # (n, dim)
     planes = _hyperplanes(mat.shape[1])
-    bits = (mat @ planes.T) > 0  # (n, N_PLANES)
-    weights = (1 << np.arange(N_PLANES)).astype(np.int64)
-    return pd.Series(bits @ weights, index=emb.index)
+    bits = (mat @ planes.T) > 0  # (n, bands*planes)
+    weights = (1 << np.arange(PLANES_PER_BAND)).astype(np.int64)
+    out = [
+        bits[:, b * PLANES_PER_BAND : (b + 1) * PLANES_PER_BAND] @ weights
+        for b in range(N_BANDS)
+    ]  # each (n,)
+    stacked = np.stack(out, axis=1)  # (n, bands)
+    return pd.Series(list(stacked), index=emb.index)
 
 
-def with_lsh_bucket(df: DataFrame) -> DataFrame:
-    """Random-hyperplane LSH bucket id per embedding (vectorized matmul)."""
-    return df.withColumn("bucket", _lsh_bucket_udf(F.col("embedding")))
+def with_lsh_bands(df: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket) — one row per band per vector."""
+    banded = df.withColumn("_buckets", _lsh_band_buckets_udf(F.col("embedding")))
+    return banded.select(
+        "*", F.posexplode("_buckets").alias("band", "bucket")
+    ).drop("_buckets")
 
 
 def lsh_topk(
     spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 3
 ) -> DataFrame:
-    """ANN variant: candidates restricted to the query's LSH bucket, then
-    exact cosine re-rank. Recall < 1 by design; the scale path."""
-    emb = with_lsh_bucket(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.orderBy("vec_id").limit(n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-        F.col("bucket").alias("qbucket"),
+    """ANN variant: candidates = vectors sharing ANY band bucket with the
+    query, then exact cosine re-rank. Recall < 1 by design; the scale
+    path — per-band buckets stay small, so the candidate join is
+    co-partitioned, never all-pairs."""
+    emb = with_lsh_bands(load_table(spark, sf_dir, "embeddings"))
+    queries = (
+        emb.filter(
+            F.col("vec_id").isin(
+                [r["vec_id"] for r in
+                 load_table(spark, sf_dir, "embeddings")
+                 .orderBy("vec_id").limit(n_queries).collect()]
+            )
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("band").alias("qband"),
+            F.col("bucket").alias("qbucket"),
+        )
     )
-    j = emb.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("qbucket"))
-        & (F.col("vec_id") != F.col("query_id")),
+    cand = (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("band") == F.col("qband"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "query_vec", "vec_id", "embedding")
+        .distinct()
     )
-    scored = j.select(
+    scored = cand.select(
         "query_id",
         "vec_id",
         F.round(_cosine(F.col("embedding"), F.col("query_vec")), 6).alias("cosine"),
@@ -117,27 +149,33 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
 
 
 def embedding_near_dup(
     spark: SparkSession, sf_dir: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH buckets: only vectors
-    sharing a bucket are compared (no all-pairs)."""
-    emb = with_lsh_bucket(load_table(spark, sf_dir, "embeddings"))
+    """Embedding-cosine near-duplicate pairs via banded LSH: only vectors
+    sharing a band bucket are compared (no all-pairs)."""
+    emb = with_lsh_bands(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
+        "band",
         "bucket",
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
+        "band",
         "bucket",
     )
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
         pairs.select(
             "id_a",
@@ -145,5 +183,4 @@ def embedding_near_dup(
             F.round(_cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .distinct()
     )

@@ -78,13 +78,13 @@ def corpus_oracle() -> str:
 
 
 # --------------------------------------------------------------- langid --
-def _langid_case() -> str:
+def _langid_case(col: str = "content") -> str:
     """First-max-wins argmax over per-language hit counts, mirroring
     scoring.detect_lang_batch exactly (same order, same min-hits)."""
     hits = []
     for lang, words in LANG_PROFILES:
         pat = r"\b(?:" + "|".join(words) + r")\b"
-        hits.append((lang, f"len(regexp_extract_all(content, '{pat}'))"))
+        hits.append((lang, f"len(regexp_extract_all({col}, '{pat}'))"))
     cols = ",\n  ".join(f"{expr} AS h_{lang}" for lang, expr in hits)
     langs = [lang for lang, _ in hits]
     greatest = "greatest(" + ", ".join(f"h_{x}" for x in langs) + ")"
@@ -110,6 +110,36 @@ def langid_oracle() -> str:
         "  lang IS NOT NULL AND detected_lang <> 'unknown' AND detected_lang <> lang"
         " AS viol_langid_mismatch,\n"
         "  detected_lang = 'unknown' AS viol_langid_unknown\nFROM det"
+    )
+
+
+def langid_documents_oracle() -> str:
+    """Same model, applied to the raw documents table (text_langid query)."""
+    cols, case = _langid_case("coalesce(text, '')")
+    return (
+        f"WITH hits AS (SELECT doc_id, lang,\n  {cols}\nFROM documents),\n"
+        f"det AS (SELECT doc_id, lang,\n  {case} AS detected_lang FROM hits)\n"
+        "SELECT doc_id, lang, detected_lang,\n"
+        "  detected_lang <> lang AS mismatch\nFROM det"
+    )
+
+
+def boilerplate_topk_oracle(k: int = 10) -> str:
+    """CB-002 analog oracle: top-K duplicated content hashes + boilerplate
+    flag, prefixes shared with rules/catalog.BOILERPLATE_PREFIXES."""
+    from data_quality_analysis_spark.rules.catalog import BOILERPLATE_PREFIXES
+
+    flag = " OR ".join(
+        f"starts_with(content, '{p}')" for p in BOILERPLATE_PREFIXES
+    )
+    return (
+        f"WITH corpus AS ({CORPUS_SELECT}),\n"
+        "h AS (SELECT sha256(content) AS content_sha,\n"
+        "             CAST(count(*) AS BIGINT) AS n_files,\n"
+        f"             bool_or({flag}) AS is_boilerplate\n"
+        "      FROM corpus GROUP BY 1)\n"
+        "SELECT content_sha, n_files, is_boilerplate FROM h\n"
+        f"WHERE n_files > 1 ORDER BY n_files DESC, content_sha LIMIT {k}"
     )
 
 

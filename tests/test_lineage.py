@@ -1,0 +1,94 @@
+"""Lineage / checkpoint-resume layer (SURVEY.md §7.2 step 8).
+
+Property under test (SURVEY.md §5): full run ≡ crashed run + resume,
+markers commit only after data lands, resume is a no-op when complete,
+and drift detection (CA-005 analog) flags planted changes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark import lineage
+from data_quality_analysis_spark.corpus import corpus_view
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df):
+    return sorted(
+        tuple(r) for r in df.select(
+            "repo", "path", "commit", "keep", "scrubbed_sha"
+        ).collect()
+    )
+
+
+def test_full_run_commits_all_buckets(spark, tmp_path):
+    out = str(tmp_path / "run1")
+    corpus = corpus_view(spark, SF)
+    report = lineage.run_with_lineage(spark, corpus, out, n_buckets=4, batch_size=2)
+    assert sorted(report.ran) == [0, 1, 2, 3]
+    assert lineage.completed_buckets(out) == {0, 1, 2, 3}
+    v = lineage.read_verdicts(spark, out)
+    assert v.count() == corpus.count()
+    # every repo entirely inside one bucket
+    assert (
+        v.groupBy("repo").agg(F.countDistinct("bucket").alias("nb"))
+        .filter(F.col("nb") > 1).count() == 0
+    )
+
+
+def test_crash_resume_equals_full_run(spark, tmp_path):
+    corpus = corpus_view(spark, SF)
+    full_out = str(tmp_path / "full")
+    lineage.run_with_lineage(spark, corpus, full_out, n_buckets=4, batch_size=2)
+
+    crash_out = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        lineage.run_with_lineage(
+            spark, corpus, crash_out, n_buckets=4, batch_size=2,
+            fail_after_batches=1,
+        )
+    done_after_crash = lineage.completed_buckets(crash_out)
+    assert done_after_crash == {0, 1}  # first batch committed, second never ran
+
+    report = lineage.run_with_lineage(
+        spark, corpus, crash_out, n_buckets=4, batch_size=2
+    )
+    assert sorted(report.skipped) == [0, 1]
+    assert sorted(report.ran) == [2, 3]
+    assert _sorted_rows(lineage.read_verdicts(spark, crash_out)) == _sorted_rows(
+        lineage.read_verdicts(spark, full_out)
+    )
+
+
+def test_resume_on_complete_run_is_noop(spark, tmp_path):
+    out = str(tmp_path / "run")
+    corpus = corpus_view(spark, SF)
+    lineage.run_with_lineage(spark, corpus, out, n_buckets=4, batch_size=4)
+    report = lineage.run_with_lineage(spark, corpus, out, n_buckets=4, batch_size=4)
+    assert report.ran == []
+    assert sorted(report.skipped) == [0, 1, 2, 3]
+
+
+def test_metrics_and_drift(spark, tmp_path):
+    out = str(tmp_path / "run")
+    corpus = corpus_view(spark, SF)
+    lineage.run_with_lineage(spark, corpus, out, n_buckets=4, batch_size=4)
+    m = lineage.read_metrics(spark, out)
+    assert m.count() == 4
+    assert m.agg(F.sum("n_files")).collect()[0][0] == corpus.count()
+
+    # identical runs → no drift
+    assert lineage.metrics_drift(m, m).count() == 0
+
+    # plant a 50% file-count drop in bucket 0 of the "previous" run
+    prev = m.withColumn(
+        "n_files",
+        F.when(F.col("bucket") == 0, (F.col("n_files") * 2)).otherwise(
+            F.col("n_files")
+        ),
+    )
+    flagged = lineage.metrics_drift(m, prev).collect()
+    assert [r["bucket"] for r in flagged] == [0]

@@ -43,18 +43,22 @@ def test_brute_force_matches_numpy(spark):
 def test_lsh_topk_subset_of_bruteforce_space(spark):
     """LSH results must be genuine vectors with exact cosines; recall<1 ok."""
     got = similarity.lsh_topk(spark, SF_SMOKE, k=5, n_queries=3).collect()
+    assert len(got) > 0  # banded LSH must produce candidates on 500 vectors
+    exact = _numpy_topk(spark, k=200, n_queries=3)
     for r in got:
         assert -1.0 <= r["cosine"] <= 1.0
         assert r["vec_id"] != r["query_id"]
+        # every LSH hit carries its TRUE cosine (subset-with-exact-scores)
+        truth = dict((i, s) for i, s in exact[r["query_id"]])
+        assert abs(truth[r["vec_id"]] - r["cosine"]) < 1e-5
 
 
 def test_lsh_bucket_deterministic(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
-    b1 = {r["vec_id"]: r["bucket"] for r in similarity.with_lsh_bucket(emb).collect()}
-    b2 = {
-        r["vec_id"]: r["bucket"]
-        for r in similarity.with_lsh_bucket(emb.repartition(5)).collect()
-    }
+    b1 = {(r["vec_id"], r["band"]): r["bucket"]
+          for r in similarity.with_lsh_bands(emb).collect()}
+    b2 = {(r["vec_id"], r["band"]): r["bucket"]
+          for r in similarity.with_lsh_bands(emb.repartition(5)).collect()}
     assert b1 == b2
 
 
