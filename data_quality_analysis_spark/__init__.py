@@ -18,6 +18,13 @@ quality-filter pipeline over an Iceberg-shaped table
   prevalence/severity bucketing (Library/CheckFunctions.R:146-154,
   Library/Issue.R:51-58).
 
+Around the pipeline: per-partition lineage with checkpoint resume
+(lineage.py), a Structured Streaming variant for incremental ingest
+(streaming.py), first-match-wins issue ranking and run-over-run
+reconciliation (rules/ranking.py, rules/resolution.py), and the
+training-data operator inventory (operators/: dedup, similarity, text,
+multimodal, relational).
+
 Everything is DataFrame-first: Catalyst handles pushdown/pruning/broadcast;
 the only custom machinery is the rule compiler, the skew-salting
 repartitioner, and the per-partition lineage/resume layer.

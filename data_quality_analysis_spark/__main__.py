@@ -1,0 +1,73 @@
+"""spark-submit entry point for the quality-filter pipeline.
+
+Deployment shape mandated by BASELINE.json: ``spark-submit --py-files
+dist/dqa_spark.zip tools/run_filter_job.py --input ... --output ...`` on a
+multi-executor cluster (see tools/submit.sh). The session comes from
+spark-submit's confs — this module sets none, so cluster operators keep
+full control; session.get_spark documents the confs that matter.
+
+Input: parquet path or ``table:<catalog.ns.name>`` (Iceberg tables arrive
+through the catalog route; the engine only needs a DataFrame with columns
+repo, path, commit, lang, content). Output: verdict parquet partitioned
+by work bucket + per-bucket lineage commit markers; re-running the same
+command after a failure resumes from the markers (tests/test_lineage.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+REQUIRED_COLS = ("repo", "path", "commit", "lang", "content")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="data_quality_analysis_spark")
+    p.add_argument("--input", required=True,
+                   help="corpus parquet path, or table:<name> for a catalog "
+                        "(e.g. Iceberg) table")
+    p.add_argument("--output", required=True,
+                   help="output dir: verdicts/ + lineage/ markers")
+    p.add_argument("--n-buckets", type=int, default=64,
+                   help="work partitions (repo-hash buckets); resume grain")
+    p.add_argument("--batch-size", type=int, default=16,
+                   help="buckets per Spark job")
+    p.add_argument("--data-version", default="r1")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    from data_quality_analysis_spark.lineage import run_with_lineage
+
+    args = build_parser().parse_args(argv)
+    spark = SparkSession.builder.appName("dqa-quality-filter").getOrCreate()
+    if args.input.startswith("table:"):
+        corpus = spark.read.table(args.input[len("table:"):])
+    else:
+        corpus = spark.read.parquet(args.input)
+    missing = [c for c in REQUIRED_COLS if c not in corpus.columns]
+    if missing:
+        print(f"input missing required columns: {missing}", file=sys.stderr)
+        return 2
+    report = run_with_lineage(
+        spark,
+        corpus.select(*REQUIRED_COLS),
+        args.output,
+        n_buckets=args.n_buckets,
+        batch_size=args.batch_size,
+        data_version=args.data_version,
+    )
+    print(json.dumps({
+        "n_buckets": report.n_buckets,
+        "ran": report.ran,
+        "skipped": report.skipped,
+        "wall_sec": report.wall_sec,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

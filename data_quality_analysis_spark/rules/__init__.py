@@ -4,6 +4,9 @@ Stage A (heuristics)  → native Column expressions, fused into one select
 Stage B (scoring)     → Arrow-batched pandas UDFs (langid, perplexity)
 Stage C (scrub)       → compiled-regex PII scrub pandas UDF
 Stage D (verdict)     → threshold catalog → keep/drop + issue rows
+analyze.py            → fused Stage B+C (one Arrow round-trip)
+ranking.py            → first-match-wins issue ranking (Go rules engine analog)
+resolution.py         → run-over-run issue reconciliation + drift synthesis
 """
 
 from data_quality_analysis_spark.rules.catalog import Rule, RuleCatalog, default_catalog

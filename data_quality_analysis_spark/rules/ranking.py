@@ -1,0 +1,85 @@
+"""Issue ranking — the reference's Go rules engine, DataFrame-native.
+
+The reference ranks issues with CSV-defined rules evaluated
+first-match-wins (/root/reference/Tools/dqa/rules/rules.go:85-126,
+matching at :118-126) over (table, field condition, issue code,
+prevalence); field conditions are predicates like "is primary key" /
+"is date" (/root/reference/Tools/dqa/rules/condition.go:16-103).
+
+Here a ranking rule is a plain dataclass; ``apply_ranking`` compiles the
+ordered rule list into ONE chained ``F.when`` expression — first match
+wins by construction, the whole evaluation is a single projection (no
+join, no Python), and unmatched issues keep rank ``None`` exactly like
+the reference leaves them unranked.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class RankingRule:
+    """One row of the reference's rules CSV. ``None`` fields match any
+    value (the reference's ``*``); ``codes``/``prevalences`` are IN-lists
+    (the reference's ``in (...)`` expansion, rules_test.go:31-183)."""
+
+    rank: str  # High | Medium | Low
+    tables: tuple[str, ...] | None = None
+    codes: tuple[str, ...] | None = None
+    prevalences: tuple[str, ...] | None = None
+    field_like: str | None = None  # SQL LIKE pattern on the field name
+
+
+DEFAULT_RANKING: list[RankingRule] = [
+    # PII/toxicity leakage is always High.
+    RankingRule("High", codes=("QF-PII-001", "QF-TOX-001")),
+    # Structural corpus problems on the content field.
+    RankingRule("High", codes=("QF-AA-003", "QF-CB-002"),
+                prevalences=("high", "full")),
+    RankingRule("Medium", codes=("QF-AA-003", "QF-CB-002")),
+    # Model-stage findings: medium unless rare.
+    RankingRule("Medium", codes=("QF-AA-002", "QF-BA-002", "QF-BA-002b",
+                                 "QF-CB-003"),
+                prevalences=("medium", "high", "full")),
+    RankingRule("Low", codes=("QF-AA-002", "QF-BA-002", "QF-BA-002b",
+                              "QF-CB-003")),
+    # Everything else by prevalence alone.
+    RankingRule("High", prevalences=("full",)),
+    RankingRule("Medium", prevalences=("high", "medium")),
+    RankingRule("Low", prevalences=("low",)),
+]
+
+
+def _rule_predicate(rule: RankingRule) -> Column:
+    pred = F.lit(True)
+    if rule.tables is not None:
+        pred = pred & F.col("table").isin(list(rule.tables))
+    if rule.codes is not None:
+        pred = pred & F.col("issue_code").isin(list(rule.codes))
+    if rule.prevalences is not None:
+        pred = pred & F.col("prevalence").isin(list(rule.prevalences))
+    if rule.field_like is not None:
+        pred = pred & F.col("field").like(rule.field_like)
+    return pred
+
+
+def apply_ranking(
+    issues: DataFrame, rules: list[RankingRule] | None = None
+) -> DataFrame:
+    """Attach ``rank`` via first-match-wins over the ordered rule list."""
+    rules = DEFAULT_RANKING if rules is None else rules
+    expr: Column | None = None
+    for rule in reversed(rules):
+        hit = _rule_predicate(rule)
+        expr = (
+            F.when(hit, F.lit(rule.rank))
+            if expr is None
+            else F.when(hit, F.lit(rule.rank)).otherwise(expr)
+        )
+    # reversed + nested otherwise ≡ forward first-match-wins
+    final = expr if expr is not None else F.lit(None).cast("string")
+    return issues.withColumn("rank", final)

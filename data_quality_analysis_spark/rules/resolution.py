@@ -1,0 +1,93 @@
+"""Run-over-run issue reconciliation — the conflict-resolution analog.
+
+The reference merges each cycle's fresh issues into the previous cycle's
+annotated secondary reports through a Go→Python subprocess pipeline
+(/root/reference/Tools/dqa/README.md:28-34;
+/root/reference/Tools/ConflictResolution/resolve.py:170-199 dispatches
+per-code resolvers such as resolvers/ba_001.py:28-75, which synthesizes a
+CA-006 "change in missingness" issue when a BA-001 finding moves between
+cycles). Process boundaries and JSON pipes disappear here: reconciliation
+is one full-outer join plus per-code column logic.
+
+Statuses (the reference's lifecycle: new / persistent / resolved):
+- ``new``        — in current only
+- ``persistent`` — in both; finding carried forward, reference's
+                   "unchanged" path (resolve.py keeps prior annotations)
+- ``resolved``   — in previous only
+Plus the BA-001→CA-006 synthesis: a persistent issue whose numeric
+finding moved by more than ``drift_pct`` emits an extra drift issue row
+(code ``QF-CA-006``), mirroring resolvers/ba_001.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ISSUE_KEY = ["table", "field", "issue_code", "alias"]
+
+# "violation rate 12.34% (617/5000)" → 12.34 (the pipeline's finding
+# format, rules/verdict.py issues_from_rates).
+_PCT_RE = r"violation rate (-?[0-9.]+)%"
+
+
+def _pct(col: str):
+    return F.regexp_extract(F.col(col), _PCT_RE, 1).cast("double")
+
+
+def reconcile(
+    current: DataFrame, previous: DataFrame, drift_pct: float = 10.0
+) -> DataFrame:
+    """current ⟗ previous on the issue key → status + drift synthesis."""
+    cur = current.select(
+        *ISSUE_KEY,
+        F.col("data_version").alias("cur_version"),
+        F.col("issue_description"),
+        F.col("finding").alias("cur_finding"),
+        F.col("prevalence").alias("cur_prevalence"),
+    )
+    prev = previous.select(
+        *ISSUE_KEY,
+        F.col("data_version").alias("prev_version"),
+        F.col("finding").alias("prev_finding"),
+    )
+    j = cur.join(prev, ISSUE_KEY, "full_outer")
+    status = (
+        F.when(F.col("cur_version").isNull(), "resolved")
+        .when(F.col("prev_version").isNull(), "new")
+        .otherwise("persistent")
+    )
+    merged = j.select(
+        *ISSUE_KEY,
+        status.alias("status"),
+        "issue_description",
+        "cur_finding",
+        "prev_finding",
+        "cur_prevalence",
+        F.round(_pct("cur_finding") - _pct("prev_finding"), 2).alias(
+            "finding_delta_pct"
+        ),
+    )
+    drift = (
+        merged.filter(
+            (F.col("status") == "persistent")
+            & (F.abs(F.col("finding_delta_pct")) > drift_pct)
+        )
+        .select(
+            "table",
+            "field",
+            F.lit("QF-CA-006").alias("issue_code"),
+            F.concat(F.col("alias"), F.lit("_drift")).alias("alias"),
+            F.lit("drift").alias("status"),
+            F.concat(
+                F.lit("violation rate moved "),
+                F.col("finding_delta_pct").cast("string"),
+                F.lit(" pct points between cycles"),
+            ).alias("issue_description"),
+            "cur_finding",
+            "prev_finding",
+            "cur_prevalence",
+            "finding_delta_pct",
+        )
+    )
+    return merged.unionByName(drift)

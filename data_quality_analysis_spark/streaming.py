@@ -1,0 +1,94 @@
+"""Structured Streaming variant of the quality filter.
+
+The reference is strictly batch (SURVEY.md §2.5: no streaming operators
+exist; its temporal notions are calendar-month buckets and cross-cycle CSV
+state). A 100 TB corpus pipeline, however, typically runs as incremental
+ingest — new repo snapshots landing continuously — so the engine also
+exposes its rule DAG over ``readStream``:
+
+- Every per-file stage is stateless (stats, heuristic flags, model
+  scoring, scrub, verdict) and streams unchanged — the same fused
+  projections and the same Arrow-batched UDF, byte-identical with batch
+  results (tested).
+- The one cross-row rule, ``exact_duplicate``, is a corpus-global window
+  and is deliberately NOT part of the streaming verdict: global dedup
+  over an unbounded corpus belongs to periodic batch compaction (the
+  lineage layer), not to per-micro-batch state that would grow without
+  bound. ``streaming_catalog()`` is the default catalog minus that rule.
+- Checkpointing: writeStream's checkpointLocation gives exactly-once
+  sinks; ``trigger(availableNow=True)`` turns the same query into an
+  incremental batch job (process-what-arrived-then-stop), which is the
+  cloud-scale ingest pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from data_quality_analysis_spark.rules.analyze import with_analysis
+from data_quality_analysis_spark.rules.catalog import RuleCatalog, default_catalog
+from data_quality_analysis_spark.rules.heuristics import (
+    with_content_stats,
+    with_heuristic_flags,
+)
+from data_quality_analysis_spark.rules.verdict import with_verdict
+
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+    ]
+)
+
+
+def streaming_catalog() -> RuleCatalog:
+    """Default catalog minus the corpus-global exact-duplicate rule."""
+    return RuleCatalog(
+        [r for r in default_catalog() if r.name != "exact_duplicate"]
+    )
+
+
+def stream_corpus(spark: SparkSession, input_dir: str) -> DataFrame:
+    return spark.readStream.schema(CORPUS_SCHEMA).parquet(input_dir)
+
+
+def filter_stream(df: DataFrame, catalog: RuleCatalog | None = None) -> DataFrame:
+    """Streaming verdict DataFrame (stateless stages only; see module doc)."""
+    catalog = catalog or streaming_catalog()
+    staged = with_content_stats(df)
+    staged = with_heuristic_flags(staged, catalog)
+    staged = with_analysis(staged)
+    out = with_verdict(staged, catalog)
+    return out.select(
+        "repo", "path", "commit", "lang", "detected_lang", "keep",
+        "rules_violated", "content_sha",
+        F.sha2(F.col("scrubbed_content"), 256).alias("scrubbed_sha"),
+        "scrubbed_content", "n_pii_spans", "perplexity",
+    )
+
+
+def run_stream_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    catalog: RuleCatalog | None = None,
+) -> None:
+    """Incremental ingest: process all unseen input files, then stop.
+    Re-invoking after new files land processes only the new files (the
+    checkpoint tracks consumed sources — streaming's resume analog of
+    lineage.run_with_lineage)."""
+    q = (
+        filter_stream(stream_corpus(spark, input_dir), catalog)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

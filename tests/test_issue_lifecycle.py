@@ -1,0 +1,99 @@
+"""Issue ranking (first-match-wins) + run-over-run reconciliation.
+
+Reference semantics under test:
+- first-match-wins rule evaluation (Tools/dqa/rules/rules.go:118-126)
+- new/persistent/resolved lifecycle + drift synthesis
+  (Tools/ConflictResolution/resolve.py:170-199, resolvers/ba_001.py:28-75)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark.rules.ranking import (
+    DEFAULT_RANKING,
+    RankingRule,
+    apply_ranking,
+)
+from data_quality_analysis_spark.rules.resolution import reconcile
+
+ISSUE_SCHEMA = (
+    "data_version string, table string, field string, issue_code string, "
+    "issue_description string, alias string, finding string, prevalence string"
+)
+
+
+def _issues(spark, rows):
+    return spark.createDataFrame(rows, ISSUE_SCHEMA)
+
+
+def _row(version="r1", code="QF-BA-001", alias="empty_content",
+         pct=12.34, prevalence="medium"):
+    return (
+        version, "corpus", "content", code,
+        "desc", alias, f"violation rate {pct}% (617/5000)", prevalence,
+    )
+
+
+def test_first_match_wins(spark):
+    rules = [
+        RankingRule("High", codes=("QF-PII-001",)),
+        RankingRule("Low", codes=("QF-PII-001",)),  # shadowed — never fires
+        RankingRule("Medium", prevalences=("medium",)),
+    ]
+    df = _issues(spark, [
+        _row(code="QF-PII-001", alias="pii_found", prevalence="medium"),
+        _row(code="QF-BA-001", alias="empty_content", prevalence="medium"),
+        _row(code="QF-BA-001", alias="x", prevalence="full"),  # no match
+    ])
+    got = {r["alias"]: r["rank"] for r in apply_ranking(df, rules).collect()}
+    assert got == {"pii_found": "High", "empty_content": "Medium", "x": None}
+
+
+def test_default_ranking_total_on_catalog_codes(spark):
+    """Every (catalog code, prevalence) combination gets a rank."""
+    from data_quality_analysis_spark.rules.catalog import default_catalog
+
+    rows = [
+        _row(code=r.code, alias=f"{r.name}_{p}", prevalence=p)
+        for r in default_catalog()
+        for p in ("low", "medium", "high", "full")
+    ]
+    ranked = apply_ranking(_issues(spark, rows), DEFAULT_RANKING)
+    assert ranked.filter(F.col("rank").isNull()).count() == 0
+
+
+def test_reconcile_lifecycle(spark):
+    prev = _issues(spark, [
+        _row(version="r1", alias="empty_content", pct=10.0),
+        _row(version="r1", alias="gone_next_cycle", code="QF-CA-011a", pct=3.0),
+        _row(version="r1", alias="drifter", code="QF-CB-003", pct=5.0),
+    ])
+    cur = _issues(spark, [
+        _row(version="r2", alias="empty_content", pct=11.0),      # persistent
+        _row(version="r2", alias="brand_new", code="QF-TOX-001", pct=1.0),
+        _row(version="r2", alias="drifter", code="QF-CB-003", pct=40.0),
+    ])
+    out = reconcile(cur, prev, drift_pct=10.0).collect()
+    by_alias = {}
+    for r in out:
+        by_alias.setdefault(r["alias"], []).append(r)
+
+    assert by_alias["empty_content"][0]["status"] == "persistent"
+    assert by_alias["empty_content"][0]["finding_delta_pct"] == 1.0
+    assert by_alias["gone_next_cycle"][0]["status"] == "resolved"
+    assert by_alias["brand_new"][0]["status"] == "new"
+    assert by_alias["drifter"][0]["status"] == "persistent"
+    # drift synthesis: |40-5| > 10 → extra QF-CA-006 row
+    drift = by_alias["drifter_drift"][0]
+    assert drift["issue_code"] == "QF-CA-006"
+    assert drift["status"] == "drift"
+    assert drift["finding_delta_pct"] == 35.0
+
+
+def test_reconcile_identical_runs_all_persistent_no_drift(spark):
+    cur = _issues(spark, [_row(version="r2"), _row(version="r2", alias="b")])
+    prev = _issues(spark, [_row(version="r1"), _row(version="r1", alias="b")])
+    out = reconcile(cur, prev).collect()
+    assert {r["status"] for r in out} == {"persistent"}
+    assert len(out) == 2

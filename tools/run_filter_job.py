@@ -1,0 +1,12 @@
+"""spark-submit main file: thin shim over data_quality_analysis_spark.
+
+spark-submit wants a script, not a module; the package itself ships via
+--py-files (see tools/submit.sh).
+"""
+
+import sys
+
+from data_quality_analysis_spark.__main__ import main
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# Package the engine and run the quality-filter job via spark-submit
+# --py-files (the BASELINE.json deployment shape). Local example:
+#
+#   MASTER=local[8] tools/submit.sh \
+#     --input /root/testdata/sf0.01/documents.parquet-derived-corpus \
+#     --output /tmp/qf_out
+#
+# On a cluster, set MASTER (e.g. yarn / k8s://...) and pass an Iceberg
+# table with --input table:catalog.ns.corpus; add your catalog confs to
+# EXTRA_CONFS.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+mkdir -p dist
+python - <<'PY'
+import os, zipfile
+with zipfile.ZipFile("dist/dqa_spark.zip", "w", zipfile.ZIP_DEFLATED) as z:
+    for root, dirs, files in os.walk("data_quality_analysis_spark"):
+        dirs[:] = [d for d in dirs if d != "__pycache__"]
+        for f in files:
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                z.write(p, p)
+print("built dist/dqa_spark.zip")
+PY
+
+exec spark-submit \
+  --master "${MASTER:-local[8]}" \
+  --driver-memory "${DRIVER_MEM:-8g}" \
+  --conf spark.sql.adaptive.enabled=true \
+  --conf spark.sql.adaptive.skewJoin.enabled=true \
+  --conf spark.sql.adaptive.coalescePartitions.minPartitionSize=64k \
+  --conf spark.sql.execution.arrow.pyspark.enabled=true \
+  --conf spark.sql.execution.arrow.maxRecordsPerBatch=10000 \
+  --conf spark.sql.session.timeZone=UTC \
+  ${EXTRA_CONFS:-} \
+  --py-files dist/dqa_spark.zip \
+  tools/run_filter_job.py "$@"
