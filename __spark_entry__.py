@@ -151,6 +151,26 @@ def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(media)
 
 
+# S3/S8 escape hatch (/root/reference/Library/InconDateTime.R:27-46 raw
+# SQL; /root/reference/Tools/dqa/query/db.go:44-101 ad-hoc SQL over
+# results): ONE dialect-neutral string executed verbatim by BOTH engines.
+_RAW_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority
+"""
+
+
+def _op_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_analysis_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RAW_SQL)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus / quality-filter family
     "qf_corpus": _qf_corpus,
@@ -179,6 +199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_hierarchy_rollup": relational.hierarchy_rollup,
     "op_pct_of_total": relational.pct_of_total,
     "op_date_align": relational.date_align,
+    "op_raw_sql": _op_raw_sql,
     # quality-filter extras
     "qf_boilerplate_topk": dedup.corpus_top_hashes,
     "qf_bucket_metrics": _qf_bucket_metrics,
@@ -378,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
             FROM mx, g
         """,
         "qf_boilerplate_topk": oracles.boilerplate_topk_oracle(),
+        "op_raw_sql": _RAW_SQL,
         # text / dedup
         "text_token_stats": rf"""
             SELECT doc_id,

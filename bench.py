@@ -169,26 +169,51 @@ def _cpu_control(n_procs: int) -> float:
     return round(n_procs * 4 / best, 2)
 
 
+def _one_probe(cores: int) -> dict:
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--probe", str(cores)],
+        capture_output=True, text=True, timeout=1800,
+        env={**os.environ, "SPARK_GRAFT_SCALING": "0"},
+    )
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
 def scaling_probes() -> dict:
     """Same job at local[N] and local[4N]; efficiency = fps_4N / (4·fps_N),
     target ≥ 0.8 (BASELINE.json). See module docstring for why N=1.
-    A pure-CPU control at the same two levels is measured back-to-back;
-    `efficiency_normalized` divides out the machine's own (non-)scaling."""
+
+    The microVM's deliverable CPU swings ±40% with host load on a scale
+    of minutes (see _cpu_control), so one-shot probes produce efficiency
+    numbers that are mostly measuring the host's mood. Instead:
+    interleave TRIALS rounds of (control, probe-N, control, probe-4N) and
+    take each level's best throughput — peak capability per level is
+    stable across windows even when individual windows are degraded.
+    `efficiency_normalized` additionally divides out whatever machine
+    (non-)scaling the adjacent controls saw."""
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
-    out = {}
-    for cores in (n, 4 * n):
-        out[f"control[{cores}]"] = _cpu_control(cores)
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--probe", str(cores)],
-            capture_output=True, text=True, timeout=1800,
-            env={**os.environ, "SPARK_GRAFT_SCALING": "0"},
-        )
-        line = r.stdout.strip().splitlines()[-1]
-        out[f"local[{cores}]"] = json.loads(line)
-    fps_n = out[f"local[{n}]"]["files_per_sec"]
-    fps_4n = out[f"local[{4 * n}]"]["files_per_sec"]
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+    levels = (n, 4 * n)
+    best: dict[int, dict] = {}
+    controls: dict[int, float] = {}
+    rounds = []
+    for _ in range(trials):
+        for cores in levels:
+            ctl = _cpu_control(cores)
+            res = _one_probe(cores)
+            controls[cores] = max(controls.get(cores, 0.0), ctl)
+            if (cores not in best
+                    or res["files_per_sec"] > best[cores]["files_per_sec"]):
+                best[cores] = res
+            rounds.append({"cores": cores, "control_units_per_sec": ctl,
+                           "files_per_sec": res["files_per_sec"]})
+    out: dict = {"trials": rounds}
+    for cores in levels:
+        out[f"local[{cores}]"] = best[cores]
+        out[f"control[{cores}]"] = controls[cores]
+    fps_n = best[n]["files_per_sec"]
+    fps_4n = best[4 * n]["files_per_sec"]
     out["efficiency_n_to_4n"] = round(fps_4n / (4.0 * fps_n), 3)
-    machine_eff = out[f"control[{4 * n}]"] / (4.0 * out[f"control[{n}]"])
+    machine_eff = controls[4 * n] / (4.0 * controls[n])
     out["machine_efficiency_n_to_4n"] = round(machine_eff, 3)
     out["efficiency_normalized"] = round(
         out["efficiency_n_to_4n"] / machine_eff, 3

@@ -15,7 +15,7 @@ Exact dedup is a hash groupBy (one shuffle). Near-dup families:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_quality_analysis_spark.session import load_table
@@ -54,35 +54,56 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Word n-gram shingles per doc: split → slide → concat. Native
-    Columns only (transform over a sequence of offsets)."""
+def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles, one ROW per (doc_id, shingle).
+
+    posexplode the token list, then n-1 ``lead`` windows per doc stitch
+    each n-gram — every expression whole-stage-codegens (the previous
+    array-of-shingles formulation ran interpreted higher-order functions
+    per row and was ~10× slower). The doc_id shuffle this costs is the
+    same partitioning every downstream dedup consumer needs anyway.
+    """
     toks = F.filter(F.split(_normalized(text_col), " ", -1), lambda x: x != "")
-    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), n_sh - 1)
-    sh = F.when(
-        n_sh > 0,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    ).otherwise(F.array())
-    return df.select("doc_id", F.array_distinct(sh).alias("shingles"))
+    exploded = df.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    last = parts[-1]
+    return (
+        exploded.select(
+            "doc_id",
+            F.when(last.isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Per-doc shingle ARRAY (compat wrapper over shingle_rows)."""
+    return shingle_rows(df, n=n, text_col=text_col).groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shingles")
+    )
 
 
 def minhash_signatures(
     df: DataFrame, n_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
     """Per-seed min of seeded xxhash64 over the shingle set → signature
-    array<long> of length n_hashes. Deterministic; JVM-side."""
-    sh = shingles(df, n=shingle_n)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(n_hashes)
-        ]
-    )
-    return sh.filter(F.size("shingles") > 0).select(
-        "doc_id", sig.alias("signature")
+    array<long> of length n_hashes.
+
+    One codegen'd projection computes all seeds per shingle ROW; one
+    hash aggregate takes the per-seed minima (partial aggregation
+    map-side — the shuffle carries 32 longs per doc, not the shingles).
+    """
+    sh = shingle_rows(df, n=shingle_n)
+    seed_cols = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}")
+        for i in range(n_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*seed_cols)
+    return agg.select(
+        "doc_id",
+        F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("signature"),
     )
 
 
@@ -109,15 +130,10 @@ def lsh_candidate_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("signature", b * rpb + i + 1).cast(
-                                        "string"
-                                    )
-                                    for i in range(rpb)
-                                ],
-                            )
+                            *[
+                                F.element_at("signature", b * rpb + i + 1)
+                                for i in range(rpb)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -148,9 +164,9 @@ def ngram_jaccard_pairs(
     shingles, join on shingle (co-occurrence counts = |A∩B|), combine with
     per-doc set sizes for |A∪B|. Only docs sharing ≥1 shingle ever meet —
     no all-pairs cross join."""
-    sh = shingles(df, n=shingle_n).filter(F.size("shingles") > 0)
-    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sh = shingle_rows(df, n=shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inv = sh
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
