@@ -216,6 +216,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_brute_topk": _sim_brute,
     "sim_lsh_topk": similarity.lsh_topk,
     "sim_embedding_near_dup": similarity.embedding_near_dup,
+    "sim_ivf_topk": similarity.ivf_topk,
     # multimodal plumbing
     "mm_media_features": _mm_media_features,
     "mm_frame_sample": _mm_frame_sample,

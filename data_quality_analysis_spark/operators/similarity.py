@@ -153,12 +153,10 @@ def lsh_topk(
     )
 
 
-def embedding_near_dup(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.95
-) -> DataFrame:
+def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded LSH: only vectors
     sharing a band bucket are compared (no all-pairs)."""
-    emb = with_lsh_bands(load_table(spark, sf_dir, "embeddings"))
+    emb = with_lsh_bands(embeddings)
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
@@ -183,4 +181,97 @@ def embedding_near_dup(
             F.round(_cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    return near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold)
+
+
+# ------------------------------------------------------------------ IVF --
+N_CENTROIDS = 16
+
+
+def _seed_centroids(emb: DataFrame, k: int = N_CENTROIDS) -> np.ndarray:
+    """Deterministic coarse quantizer: unit-normalized seed vectors taken
+    at evenly-spaced vec_id rank positions (k rows collected — O(k·dim)
+    driver memory, independent of corpus size). A Lloyd refinement would
+    drop in here; seeds alone already give the IVF *operator shape*:
+    cell assignment, inverted lists, nprobe search."""
+    ranked = emb.select("vec_id", "embedding").orderBy("vec_id")
+    n = ranked.count()
+    step = max(n // k, 1)
+    rows = (
+        ranked.withColumn(
+            "_rn",
+            F.row_number().over(Window.orderBy("vec_id")),
+        )
+        .filter(((F.col("_rn") - 1) % step == 0) & (F.col("_rn") <= step * k))
+        .collect()
+    )
+    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def make_cell_udf(centroids: np.ndarray):
+    """Pandas UDF assigning each vector to its max-cosine centroid.
+    ``centroids`` is captured in the closure → shipped once per executor
+    (broadcast semantics), one matmul per Arrow batch."""
+
+    @pandas_udf(LongType())
+    def _cell(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ centroids.T, axis=1), index=emb.index)
+
+    return _cell
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 3,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize to N_CENTROIDS inverted lists, search only
+    the query's ``nprobe`` nearest cells, exact cosine re-rank. The scale
+    path alternative to banded LSH: at 100 TB the cell assignment is one
+    narrow UDF pass and the probe is a semi-join against nprobe/k of the
+    corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _seed_centroids(emb)
+    cell_udf = make_cell_udf(centroids)
+    cells = emb.withColumn("cell", cell_udf(F.col("embedding")))
+
+    qrows = emb.orderBy("vec_id").limit(n_queries).collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        order = np.argsort(-(centroids @ v))[:nprobe]
+        probe_rows.extend((int(r["vec_id"]), int(c)) for c in order)
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    qvecs = spark.createDataFrame(
+        [(int(r["vec_id"]), list(r["embedding"])) for r in qrows],
+        "query_id long, query_vec array<float>",
+    )
+
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qvecs), "query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(_cosine(F.col("embedding"), F.col("query_vec")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )

@@ -67,3 +67,47 @@ def test_embedding_near_dup_self_consistency(spark):
     for r in pairs:
         assert r["id_a"] < r["id_b"]
         assert r["cosine"] >= 0.99
+
+
+def test_embedding_near_dup_finds_planted_duplicates(spark):
+    """Union the table with exact copies under new ids — every planted
+    pair must surface with cosine 1.0 (identical vectors always share
+    every LSH band bucket)."""
+    from pyspark.sql import functions as F
+
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding").orderBy("vec_id").limit(20)
+    )
+    planted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    both = emb.unionByName(planted)
+    pairs = similarity.near_dup_pairs(both, threshold=0.999).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for r in emb.collect():
+        assert (r["vec_id"], r["vec_id"] + 1_000_000) in found
+    for r in pairs:
+        assert r["cosine"] >= 0.999
+
+
+def test_ivf_topk_subset_with_exact_scores(spark):
+    got = similarity.ivf_topk(spark, SF_SMOKE, k=5, n_queries=3).collect()
+    assert len(got) > 0
+    exact = _numpy_topk(spark, k=500, n_queries=3)
+    for r in got:
+        truth = dict((i, s) for i, s in exact[r["query_id"]])
+        assert abs(truth[r["vec_id"]] - r["cosine"]) < 1e-5
+        assert r["vec_id"] != r["query_id"]
+
+
+def test_ivf_recall_at_least_nprobe_fraction(spark):
+    """With nprobe=16 == N_CENTROIDS every cell is probed → recall 1.0
+    (IVF degenerates to exact search; sanity-checks the cell plumbing)."""
+    got = similarity.ivf_topk(spark, SF_SMOKE, k=5, n_queries=3, nprobe=16).collect()
+    exact = _numpy_topk(spark, k=5, n_queries=3)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for q, expect in exact.items():
+        assert by_q[q] == [i for i, _ in expect]
