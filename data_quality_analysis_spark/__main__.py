@@ -27,8 +27,9 @@ REQUIRED_COLS = ("repo", "path", "commit", "lang", "content")
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="data_quality_analysis_spark")
     p.add_argument("--input", required=True,
-                   help="corpus parquet path, or table:<name> for a catalog "
-                        "(e.g. Iceberg) table")
+                   help="corpus source spec: [parquet|orc|json|csv|table]:"
+                        "<path-or-name> (bare path = parquet; table: is the "
+                        "catalog route, e.g. Iceberg)")
     p.add_argument("--output", required=True,
                    help="output dir: verdicts/ + lineage/ markers")
     p.add_argument("--n-buckets", type=int, default=64,
@@ -42,12 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     from data_quality_analysis_spark.lineage import run_with_lineage
 
+    from data_quality_analysis_spark.sources import read_corpus
+
     args = build_parser().parse_args(argv)
     spark = SparkSession.builder.appName("dqa-quality-filter").getOrCreate()
-    if args.input.startswith("table:"):
-        corpus = spark.read.table(args.input[len("table:"):])
-    else:
-        corpus = spark.read.parquet(args.input)
+    corpus = read_corpus(spark, args.input)
     missing = [c for c in REQUIRED_COLS if c not in corpus.columns]
     if missing:
         print(f"input missing required columns: {missing}", file=sys.stderr)

@@ -1,0 +1,73 @@
+"""Format-agnostic corpus sources/sinks.
+
+The reference reaches its data through a format indirection too — five
+RDBMS dialects behind one `src_argos` handle plus CSV side files
+(/root/reference/Doc/PEDSnet_DQA_Documentation.md:28,
+/root/reference/Resources/site_info.R:40-43). Here the indirection is a
+``scheme:path`` spec over Spark's datasource API:
+
+    parquet:/data/corpus        (default when no scheme given)
+    orc:/data/corpus
+    json:/data/corpus           (JSON Lines)
+    csv:/data/corpus            (multiLine + quoted — content has newlines)
+    table:catalog.ns.corpus     (session catalog — Iceberg arrives here)
+
+Writers mirror readers, so any corpus round-trips byte-identically
+(tested). All readers hand back a plain DataFrame; the pipeline does not
+care where rows came from.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_quality_analysis_spark.streaming import CORPUS_SCHEMA
+
+_CSV_OPTS = {
+    # content carries embedded newlines and quotes; spark's csv needs
+    # explicit multiLine + quote-escape to round-trip them. The \\N null
+    # sentinel keeps NULL distinguishable from '' (with the default
+    # nullValue="", empty content reads back as null).
+    "multiLine": "true",
+    "header": "true",
+    "quote": '"',
+    "escape": '"',
+    "nullValue": "\\N",
+}
+
+
+def _split(spec: str) -> tuple[str, str]:
+    scheme, sep, rest = spec.partition(":")
+    if not sep or "/" in scheme or scheme not in (
+        "parquet", "orc", "json", "csv", "table"
+    ):
+        return "parquet", spec
+    return scheme, rest
+
+
+def read_corpus(spark: SparkSession, spec: str) -> DataFrame:
+    scheme, target = _split(spec)
+    if scheme == "table":
+        return spark.read.table(target)
+    if scheme == "csv":
+        return spark.read.options(**_CSV_OPTS).schema(CORPUS_SCHEMA).csv(target)
+    if scheme == "json":
+        return spark.read.schema(CORPUS_SCHEMA).json(target)
+    if scheme == "orc":
+        return spark.read.orc(target)
+    return spark.read.parquet(target)
+
+
+def write_corpus(df: DataFrame, spec: str, mode: str = "overwrite") -> None:
+    scheme, target = _split(spec)
+    w = df.write.mode(mode)
+    if scheme == "table":
+        w.saveAsTable(target)
+    elif scheme == "csv":
+        w.options(**_CSV_OPTS).csv(target)
+    elif scheme == "json":
+        w.json(target)
+    elif scheme == "orc":
+        w.orc(target)
+    else:
+        w.parquet(target)

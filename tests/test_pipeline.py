@@ -137,3 +137,28 @@ def test_prevalence_bucketing_matches_reference():
     assert prevalence_bucket(99.9) == "high"
     assert prevalence_bucket(100) == "full"
     assert prevalence_bucket(-5) == "medium"
+
+
+def test_salting_bounds_hot_repo_partition(spark):
+    """North-rule skew case: one repo holds ~1/3 of files. Partitioning
+    by repo hash alone serializes it into one partition; the salted
+    repartition must spread it (SURVEY.md §4)."""
+    from data_quality_analysis_spark.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, SF_SMOKE, replication=4)
+    total = corpus.count()
+
+    def max_partition_fraction(df):
+        sizes = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").count().collect()
+        )
+        return max(r["count"] for r in sizes) / total
+
+    unsalted = max_partition_fraction(
+        corpus.repartition(32, F.xxhash64("repo"))
+    )
+    salted = max_partition_fraction(salted_repartition(corpus, 32))
+    assert unsalted > 0.30  # the hot repo really is hot
+    assert salted < 0.15    # and salting breaks it up
+    assert salted < unsalted / 2

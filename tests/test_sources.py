@@ -1,0 +1,42 @@
+"""Format-agnostic sources: every scheme round-trips the corpus exactly
+(including embedded newlines/quotes in content) — the S1/S4 format
+indirection of the reference, over Spark datasources."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_quality_analysis_spark import sources
+from data_quality_analysis_spark.corpus import corpus_view
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.select(
+            "repo", "path", "commit", "lang", "content"
+        ).collect()
+    )
+
+
+@pytest.mark.parametrize("scheme", ["parquet", "orc", "json", "csv"])
+def test_roundtrip(spark, tmp_path, scheme):
+    corpus = corpus_view(spark, SF_SMOKE)
+    spec = f"{scheme}:{tmp_path}/corpus_{scheme}"
+    sources.write_corpus(corpus, spec)
+    back = sources.read_corpus(spark, spec)
+    assert _rows(back) == _rows(corpus)
+
+
+def test_bare_path_is_parquet(spark, tmp_path):
+    corpus = corpus_view(spark, SF_SMOKE)
+    path = str(tmp_path / "bare")
+    sources.write_corpus(corpus, path)
+    assert _rows(sources.read_corpus(spark, path)) == _rows(corpus)
+
+
+def test_table_scheme(spark):
+    corpus = corpus_view(spark, SF_SMOKE)
+    corpus.createOrReplaceTempView("corpus_tbl")
+    got = sources.read_corpus(spark, "table:corpus_tbl")
+    assert _rows(got) == _rows(corpus)
