@@ -244,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_langid": oracles.langid_oracle(),
         "qf_scrubbed": oracles.scrub_oracle(),
         "qf_verdict": oracles.verdict_oracle(),
+        "qf_rule_rates": oracles.rates_oracle(),
         # relational operators
         "op_group_count": """
             SELECT l_returnflag, l_linestatus,
@@ -522,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rank <= 5
         """,
-        # qf_rule_rates, text_langid, sim/LSH internals: non-SQL-expressible
-        # (pandas-UDF model stages) → rows-only check + pytest oracles.
+        # sim/LSH/minhash/simhash internals, bucket metrics, multimodal:
+        # non-SQL-expressible (xxhash64 / hyperplane / mapInPandas stages)
+        # → rows-only check + pytest oracles.
     }

@@ -184,6 +184,58 @@ def scrub_oracle() -> str:
     )
 
 
+def rates_oracle() -> str:
+    """Per-rule violation rates — the issue-report analog (qf_rule_rates).
+
+    One wide CTE assembles every per-row signal (stage-A flags, window
+    duplicate, langid, perplexity, scrub counts) from the SAME shared
+    constants as the pipeline, then one UNION ALL row per catalog rule
+    computes (violations, total, pct) with the reference's
+    round-then-compare 2dp (/root/reference/Library/MissData.R:25-28)."""
+    from data_quality_analysis_spark.rules.catalog import default_catalog
+
+    lang_cols, lang_case = _langid_case()
+    _, scrub_counts = _scrub_chain("content")
+    pii_sum = " + ".join(scrub_counts[:-1])
+    full = (
+        _corpus_cte(PERPLEXITY_CTE.strip())
+        + f""",
+flags AS (SELECT repo, path, commit, lang, content, is_blank,
+    {_FLAG_SELECT}
+  FROM stats),
+langid AS (SELECT repo, path, commit, {lang_case} AS detected_lang
+  FROM (SELECT repo, path, commit, lang, content, {lang_cols} FROM corpus)),
+scrubc AS (SELECT repo, path, commit,
+    CAST({pii_sum} AS BIGINT) AS n_pii_spans,
+    CAST({scrub_counts[-1]} AS BIGINT) AS n_blocklist
+  FROM corpus),
+allsig AS (
+  SELECT f.*, l.detected_lang, p.perplexity, s.n_pii_spans, s.n_blocklist,
+    f.lang IS NOT NULL AND l.detected_lang <> 'unknown'
+      AND l.detected_lang <> f.lang AS viol_langid_mismatch,
+    l.detected_lang = 'unknown' AS viol_langid_unknown,
+    (NOT f.is_blank) AND (p.perplexity < {_B['perplexity_lo']}
+      OR p.perplexity > {_B['perplexity_hi']}) AS viol_perplexity_band,
+    s.n_pii_spans > 0 AS viol_pii_found,
+    s.n_blocklist > 0 AS viol_blocklist_word
+  FROM flags f
+  JOIN langid l ON f.repo = l.repo AND f.path = l.path AND f.commit = l.commit
+  JOIN perp p   ON f.repo = p.repo AND f.path = p.path AND f.commit = p.commit
+  JOIN scrubc s ON f.repo = s.repo AND f.path = s.path AND f.commit = s.commit)
+"""
+    )
+    selects = [
+        f"SELECT '{r.name}' AS rule_name,\n"
+        f"  CAST(sum(CASE WHEN viol_{r.name} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS violations,\n"
+        f"  CAST(count(*) AS BIGINT) AS total,\n"
+        f"  round(sum(CASE WHEN viol_{r.name} THEN 1 ELSE 0 END) * 100.0"
+        f" / count(*), 2) AS pct\nFROM allsig"
+        for r in default_catalog()
+    ]
+    return full + "\nUNION ALL\n".join(selects)
+
+
 # -------------------------------------------------------------- verdict --
 DROPPING_FLAGS = [
     "viol_empty_content",
