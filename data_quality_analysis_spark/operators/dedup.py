@@ -54,28 +54,33 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles, one ROW per (doc_id, shingle).
+def shingle_rows(
+    df: DataFrame, n: int = 3, text_col: str = "text", distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles, one ROW per (doc_id, shingle).
 
     posexplode the token list, then n-1 ``lead`` windows per doc stitch
     each n-gram — every expression whole-stage-codegens (the previous
     array-of-shingles formulation ran interpreted higher-order functions
     per row and was ~10× slower). The doc_id shuffle this costs is the
     same partitioning every downstream dedup consumer needs anyway.
+
+    ``distinct=True`` gives set semantics (required for Jaccard).
+    Duplicate-insensitive consumers (MinHash: min over a multiset equals
+    min over its set) pass ``distinct=False`` and skip that second
+    shuffle — their doc_id aggregate then reuses the window's
+    partitioning, so the whole signature computation is ONE exchange.
     """
     toks = F.filter(F.split(_normalized(text_col), " ", -1), lambda x: x != "")
     exploded = df.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
     last = parts[-1]
-    return (
-        exploded.select(
-            "doc_id",
-            F.when(last.isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
-    )
+    rows = exploded.select(
+        "doc_id",
+        F.when(last.isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    return rows.distinct() if distinct else rows
 
 
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
@@ -95,7 +100,7 @@ def minhash_signatures(
     hash aggregate takes the per-seed minima (partial aggregation
     map-side — the shuffle carries 32 longs per doc, not the shingles).
     """
-    sh = shingle_rows(df, n=shingle_n)
+    sh = shingle_rows(df, n=shingle_n, distinct=False)
     seed_cols = [
         F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}")
         for i in range(n_hashes)
