@@ -1,0 +1,62 @@
+"""Physical-plan regression tests — the plan IS the product at 100 TB.
+
+Asserts the properties BENCH.md's plan audit documents: column pruning
+reaches the scans, filters push down, dimension joins broadcast, the
+pipeline has exactly one exchange and one (fused) Python stage. A
+regression here (e.g. a second ArrowEvalPython from un-fusing the UDFs,
+or an extra shuffle) would silently multiply cost at scale long before
+any correctness test notices.
+"""
+
+from __future__ import annotations
+
+import re
+
+from data_quality_analysis_spark.corpus import corpus_view
+from data_quality_analysis_spark.pipeline import run_rules
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pipeline_one_exchange_one_python_stage(spark):
+    plan = _plan(run_rules(corpus_view(spark, SF_SMOKE)))
+    assert plan.count("ArrowEvalPython") == 1, "score+scrub must stay fused"
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "only the content-sha window may shuffle"
+    )
+
+
+def test_scan_pruning_group_count(spark):
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["op_group_count"](spark, SF_SMOKE))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    names = {c.split("#")[0] for c in cols.split(",")}
+    assert names == {
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"
+    }, f"scan must read only referenced columns, got {names}"
+
+
+def test_filter_pushdown_anti_join(spark):
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["op_anti_join"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the o_orderstatus = 'P' predicate must reach the orders scan
+    orders_scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "o_orderstatus" in l
+    )
+    assert "o_orderstatus" in orders_scan.split("DataFilters:")[1].split("]")[0]
+
+
+def test_dim_join_broadcasts(spark):
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["op_broadcast_dim_join"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
