@@ -164,6 +164,15 @@ _RAW_SQL = """
 """
 
 
+def _text_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style bigram perplexity with an explicitly broadcast model
+    table (rules/ngram.py). Rows-only: the 65k-entry model has no sane
+    SQL encoding; pytest verifies against an independent scorer."""
+    from data_quality_analysis_spark.rules.ngram import ngram_perplexity_documents
+
+    return ngram_perplexity_documents(spark, sf_dir)
+
+
 def _op_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_analysis_spark.session import register_views
 
@@ -208,6 +217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_score": text.quality_score,
     "text_fingerprint": _text_fingerprint,
     "text_langid": text.langid_documents,
+    "text_ngram_perplexity": _text_ngram_perplexity,
     "dedup_exact": dedup.exact_duplicates,
     "dedup_keep_first": dedup.dedup_keep_first,
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,

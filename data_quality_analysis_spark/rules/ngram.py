@@ -1,0 +1,100 @@
+"""KenLM-style n-gram (bigram) perplexity with an explicitly broadcast model.
+
+The north star calls for "a broadcast fastText language-ID model [and] a
+KenLM-style n-gram perplexity scorer". The char-entropy scorer in
+scoring.py is the 0-gram baseline; this module is the n-gram path and
+demonstrates the broadcast-model pattern literally: the model is a dense
+(256×256) byte-bigram log₂-probability table built deterministically at
+import (Laplace-smoothed counts from a fixed seed text), shipped to
+executors ONCE via ``SparkContext.broadcast``, and read inside the pandas
+UDF as ``bc.value`` — the same mechanics a real multi-GB KenLM binary or
+fastText .bin would use.
+
+Scoring is fully vectorized per Arrow batch: one flat gather over the
+table for every adjacent byte pair in the batch, one bincount-style
+segment sum per row. Perplexity = 2^(−mean log₂ p(bᵢ | bᵢ₋₁)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from data_quality_analysis_spark.rules.scoring import LANG_PROFILES
+
+# Deterministic seed corpus for the model: the language-profile words and
+# a slab of code-shaped text. A real deployment replaces this with a
+# trained table; everything downstream is unchanged.
+_SEED_TEXT = (
+    " ".join(w for _, words in LANG_PROFILES for w in words) + " "
+    + "def main(args): return [x * x for x in range(100)] # comment\n"
+    + "SELECT col FROM table WHERE id = 42;\n"
+    + "for (int i = 0; i < n; i++) { sum += a[i]; }\n"
+    + "the quick brown fox jumps over the lazy dog 0123456789\n"
+) * 4
+
+# Rows with fewer than 2 bytes have no bigrams; their perplexity is
+# pinned to the uniform-model value so the column stays total.
+EMPTY_PERPLEXITY = 256.0
+
+
+def build_bigram_table() -> np.ndarray:
+    """(256, 256) float64 of log₂ p(cur | prev), Laplace-smoothed."""
+    data = np.frombuffer(_SEED_TEXT.encode("utf-8"), dtype=np.uint8)
+    counts = np.ones((256, 256), dtype=np.float64)  # +1 smoothing
+    np.add.at(counts, (data[:-1], data[1:]), 1.0)
+    return np.log2(counts / counts.sum(axis=1, keepdims=True))
+
+
+def bigram_perplexity_batch(texts: pd.Series, table: np.ndarray) -> pd.Series:
+    """Vectorized bigram perplexity over one Arrow batch."""
+    s = texts.fillna("")
+    encoded = s.str.encode("utf-8")
+    lens = encoded.str.len().to_numpy(dtype=np.int64)
+    n = len(s)
+    out = np.full(n, EMPTY_PERPLEXITY, dtype=np.float64)
+    if n == 0 or lens.sum() == 0:
+        return pd.Series(out, index=texts.index)
+    allbytes = np.frombuffer(b"".join(encoded.to_numpy()), dtype=np.uint8)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # adjacent pairs WITHIN a row: positions where the next byte belongs
+    # to the same row
+    same_row = row_idx[1:] == row_idx[:-1]
+    prev = allbytes[:-1][same_row]
+    cur = allbytes[1:][same_row]
+    pair_rows = row_idx[:-1][same_row]
+    logp = table[prev, cur]
+    sums = np.bincount(pair_rows, weights=logp, minlength=n)
+    n_pairs = np.bincount(pair_rows, minlength=n)
+    has = n_pairs > 0
+    out[has] = np.power(2.0, -sums[has] / n_pairs[has])
+    return pd.Series(np.round(out, 4), index=texts.index)
+
+
+def with_ngram_perplexity(
+    spark: SparkSession, df: DataFrame, text_col: str = "content"
+) -> DataFrame:
+    """Attach ``ngram_perplexity`` using an explicitly broadcast table."""
+    bc = spark.sparkContext.broadcast(build_bigram_table())
+
+    @pandas_udf(DoubleType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        return bigram_perplexity_batch(texts, bc.value)
+
+    return df.withColumn("ngram_perplexity", _udf(F.col(text_col)))
+
+
+def ngram_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: bigram perplexity per document (rows-only check —
+    the 65k-entry model table has no sane SQL encoding; pytest verifies
+    against an independent pure-Python scorer)."""
+    from data_quality_analysis_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_ngram_perplexity(spark, d, "text").select(
+        "doc_id", "ngram_perplexity"
+    )

@@ -25,7 +25,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from data_quality_analysis_spark.rules.analyze import with_analysis
 from data_quality_analysis_spark.rules.catalog import RuleCatalog, default_catalog
@@ -92,3 +98,103 @@ def run_stream_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+# ------------------------------------------------- stateful aggregation --
+REPO_STATS_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("files_seen", LongType()),
+        StructField("files_kept", LongType()),
+        StructField("keep_rate", DoubleType()),
+    ]
+)
+_REPO_STATE_SCHEMA = StructType(
+    [StructField("files_seen", LongType()), StructField("files_kept", LongType())]
+)
+
+
+def repo_keep_rate_stream(verdicts: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-repo keep-rate across
+    micro-batches via ``applyInPandasWithState``.
+
+    State = (files_seen, files_kept) per repo, carried in the state store
+    (checkpointed, exactly-once); every micro-batch emits the repo's
+    updated cumulative rate. This is the streaming form of the
+    reference's cross-cycle counts (the CSVs DocumentationModules.R
+    carries between runs) — state lives in the engine, not in side files.
+    Input: a streaming DataFrame with at least (repo, keep).
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        seen = kept = 0
+        if state.exists:
+            seen, kept = state.get
+        for pdf in pdfs:
+            seen += len(pdf)
+            kept += int(pdf["keep"].sum())
+        state.update((seen, kept))
+        yield pd.DataFrame(
+            {
+                "repo": [key[0]],
+                "files_seen": [seen],
+                "files_kept": [kept],
+                "keep_rate": [round(kept / seen, 4) if seen else 0.0],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        verdicts.select("repo", "keep")
+        .groupBy("repo")
+        .applyInPandasWithState(
+            update,
+            REPO_STATS_SCHEMA,
+            _REPO_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_keep_rate_stream_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Incremental stateful run: filter unseen files, fold their verdicts
+    into the per-repo running totals (state store, recovered from the
+    checkpoint on every invocation), and append each batch's updated rows
+    to a parquet update-log via foreachBatch (the memory sink cannot
+    recover from checkpoints). ``latest_keep_rates`` reads the log."""
+    rates = repo_keep_rate_stream(filter_stream(stream_corpus(spark, input_dir)))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    q = (
+        rates.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def latest_keep_rates(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Current totals per repo = the row from the highest batch_id."""
+    from pyspark.sql import Window
+
+    log = spark.read.parquet(output_dir)
+    w = Window.partitionBy("repo").orderBy(F.desc("batch_id"))
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
+    )

@@ -1,0 +1,80 @@
+"""Bigram perplexity: vectorized batch vs an independent per-row scorer,
+broadcast plumbing, and batch invariance."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_quality_analysis_spark.rules import ngram
+
+
+def _slow_perplexity(text: str, table: np.ndarray) -> float:
+    """Independent per-row reference (plain loops, no vectorization)."""
+    data = text.encode("utf-8")
+    if len(data) < 2:
+        return ngram.EMPTY_PERPLEXITY
+    logs = [table[data[i], data[i + 1]] for i in range(len(data) - 1)]
+    return round(2.0 ** (-sum(logs) / len(logs)), 4)
+
+
+@pytest.fixture(scope="module")
+def table():
+    return ngram.build_bigram_table()
+
+
+def test_table_is_proper_distribution(table):
+    rowsums = np.power(2.0, table).sum(axis=1)
+    assert np.allclose(rowsums, 1.0)
+
+
+def test_batch_matches_slow_reference(table):
+    texts = [
+        "", "a", "ab", "the quick brown fox", "def main(): pass",
+        "aaaaaaaaaa", "\x00\x01\x02", "é漢字 mixed unicode",
+        "SELECT col FROM table WHERE id = 42;",
+    ]
+    got = ngram.bigram_perplexity_batch(pd.Series(texts), table)
+    for t, g in zip(texts, got):
+        assert abs(g - _slow_perplexity(t, table)) < 1e-6, repr(t)
+
+
+def test_batch_split_invariant(table):
+    texts = ["abc def", "", "x", "the the the", "code(); // x"] * 3
+    whole = list(ngram.bigram_perplexity_batch(pd.Series(texts), table))
+    split = []
+    for i in range(0, len(texts), 4):
+        split.extend(
+            ngram.bigram_perplexity_batch(pd.Series(texts[i : i + 4]), table)
+        )
+    assert whole == split
+
+
+def test_seedlike_text_scores_lower_than_noise(table):
+    """The model must prefer text resembling its training distribution."""
+    code = "for (int i = 0; i < n; i++) { sum += a[i]; }"
+    noise = "qzxj~@#$%^&*()_+|}{⟶☃☠"
+    got = ngram.bigram_perplexity_batch(pd.Series([code, noise]), table)
+    assert got.iloc[0] < got.iloc[1]
+
+
+def test_spark_broadcast_path(spark):
+    got = ngram.ngram_perplexity_documents(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(got) == 500
+    table = ngram.build_bigram_table()
+    import duckdb
+
+    docs = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).df()
+    expected = {
+        int(r.doc_id): _slow_perplexity(r.text or "", table)
+        for r in docs.itertuples()
+    }
+    for r in got:
+        assert abs(r["ngram_perplexity"] - expected[r["doc_id"]]) < 1e-6

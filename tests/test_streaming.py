@@ -59,3 +59,37 @@ def test_stream_incremental_resume(spark, tmp_path):
     assert result.count() == corpus.count()
     assert result.select("repo", "path", "commit").distinct().count() == corpus.count()
     corpus.unpersist()
+
+
+def test_stateful_keep_rate_accumulates_across_runs(spark, tmp_path):
+    """applyInPandasWithState: per-repo totals must accumulate across two
+    availableNow invocations through the checkpointed state store."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "rates")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = corpus_view(spark, SF_SMOKE).cache()
+    hot = corpus.filter(F.col("repo") == "bigcorp/monorepo")
+    half1 = hot.limit(hot.count() // 2)
+    half2 = hot.subtract(half1)
+
+    half1.write.mode("append").parquet(src)
+    streaming.run_keep_rate_stream_available_now(spark, src, out, ckpt)
+    first = {
+        r["repo"]: r for r in streaming.latest_keep_rates(spark, out).collect()
+    }
+    assert first["bigcorp/monorepo"]["files_seen"] == half1.count()
+
+    half2.write.mode("append").parquet(src)
+    streaming.run_keep_rate_stream_available_now(spark, src, out, ckpt)
+    second = {
+        r["repo"]: r for r in streaming.latest_keep_rates(spark, out).collect()
+    }
+    row = second["bigcorp/monorepo"]
+    assert row["files_seen"] == hot.count()  # state accumulated
+
+    # totals agree with the batch pipeline on the same rows
+    batch = run_rules(hot, streaming.streaming_catalog())
+    kept = batch.filter(F.col("keep")).count()
+    assert row["files_kept"] == kept
+    assert row["keep_rate"] == round(kept / hot.count(), 4)
+    corpus.unpersist()
