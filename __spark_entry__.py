@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_quality_analysis_spark import oracles
-from data_quality_analysis_spark.corpus import corpus_view
+from data_quality_analysis_spark.corpus import CORPUS_SELECT, corpus_view
+from data_quality_analysis_spark.fixtures import (
+    PLANTED_EMBEDDINGS_SELECT as _PLANTED_EMB,
+    SPIKED_EVENTS_SELECT as _SPIKED_EVENTS,
+)
 from data_quality_analysis_spark.operators import dedup, relational, similarity, text
 from data_quality_analysis_spark.pipeline import run_rules
 from data_quality_analysis_spark.rules.catalog import default_catalog
@@ -323,11 +327,12 @@ def oracle_sql() -> dict[str, str]:
                    cnt - lag(cnt) OVER (ORDER BY bucket) AS delta
             FROM daily
         """,
-        "op_temporal_outlier": """
-            WITH daily AS (
+        "op_temporal_outlier": f"""
+            WITH spiked AS ({_SPIKED_EVENTS}),
+            daily AS (
                 SELECT strftime(ts, '%Y-%m-%d') AS bucket,
                        CAST(count(*) AS BIGINT) AS cnt
-                FROM events GROUP BY 1),
+                FROM spiked GROUP BY 1),
             deltas AS (
                 SELECT bucket, cnt,
                        cnt - lag(cnt) OVER (ORDER BY bucket) AS delta
@@ -460,15 +465,34 @@ def oracle_sql() -> dict[str, str]:
                        '\s+', ' ', 'g')))) AS fingerprint_md5
             FROM documents
         """,
-        "dedup_exact": r"""
-            WITH hashed AS (
-              SELECT doc_id,
-                     md5(lower(trim(regexp_replace(coalesce(text, ''),
-                         '\s+', ' ', 'g')))) AS content_hash
-              FROM documents)
-            SELECT content_hash, CAST(count(*) AS BIGINT) AS n_docs,
-                   min(doc_id) AS keeper_doc_id
+        "dedup_exact": f"""
+            WITH corpus AS ({CORPUS_SELECT}),
+            hashed AS (
+              SELECT path,
+                     md5(lower(trim(regexp_replace(coalesce(content, ''),
+                         '\\s+', ' ', 'g')))) AS content_hash
+              FROM corpus)
+            SELECT content_hash, CAST(count(*) AS BIGINT) AS n_files,
+                   min(path) AS keeper_id
             FROM hashed GROUP BY content_hash HAVING count(*) > 1
+        """,
+        "sim_embedding_near_dup": f"""
+            WITH planted AS ({_PLANTED_EMB}),
+            n AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM planted)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (a.nrm * b.nrm), 6) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE round(
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (a.nrm * b.nrm), 6) >= 0.95
         """,
         "text_langid": oracles.langid_documents_oracle(),
         "dedup_ngram_jaccard": r"""

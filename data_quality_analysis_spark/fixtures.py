@@ -1,0 +1,59 @@
+"""Planted-violation derived views for otherwise-vacuous checks.
+
+Round-1 verdict: three driver checks returned 0 rows at sf0.01
+(`op_temporal_outlier`, `dedup_exact`, `sim_embedding_near_dup`) — a hash
+match on an empty result proves only schema agreement. The raw testdata is
+read-only, so violations are planted in *derived views*, exactly like
+``corpus.CORPUS_SELECT`` plants corpus violations: ONE SQL text valid in
+BOTH Spark SQL and DuckDB, fully deterministic, keyed off existing ids.
+
+- ``SPIKED_EVENTS_SELECT`` — replicates one fixed day's events ×10. With
+  ~uniform daily counts this makes the spike day's MoM deltas ±9·c; over
+  d≈29 deltas the sample stddev is ≈ |delta|·sqrt(2/(d-1)), so
+  delta/sigma ≈ sqrt((d-1)/2) ≈ 3.7 — inside the reference's asymmetric
+  CA-008 band (mu-3sigma, mu+4sigma) on the negative side ONLY: exactly
+  one flagged row, at every scale factor (all sfs span 2024-01-01..30).
+- ``PLANTED_EMBEDDINGS_SELECT`` — appends identical copies (cosine 1.0)
+  of every vec_id ≡ 0 (mod 97) under vec_id+10,000,000. Identical vectors
+  share every LSH band bucket, so banded recall on planted pairs is
+  exactly 1.0 — which is what makes the exact-SQL all-pairs oracle for
+  ``sim_embedding_near_dup`` sound (organic max cosine ≈ 0.51 at sf0.01,
+  far under the 0.95 threshold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+SPIKE_DAY = "2024-01-15"
+
+SPIKED_EVENTS_SELECT = f"""
+SELECT event_id, ts, user_id, event_type, value FROM events
+UNION ALL
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value
+FROM events e CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS rep(i)
+WHERE CAST(e.ts AS DATE) = DATE '{SPIKE_DAY}'
+"""
+
+PLANTED_EMBEDDINGS_SELECT = """
+SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 10000000 AS vec_id, embedding
+FROM embeddings WHERE vec_id % 97 = 0
+"""
+
+
+def spiked_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with the planted ×10 spike day (temp view ``events``)."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(SPIKED_EVENTS_SELECT)
+
+
+def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with planted exact-copy near-duplicates."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(PLANTED_EMBEDDINGS_SELECT)

@@ -27,19 +27,32 @@ def _normalized(text_col: str = "text"):
     )
 
 
-def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: groups of documents sharing a content hash.
-    AA-003 analog (/root/reference/Library/InconPK.R:16-42)."""
-    d = load_table(spark, sf_dir, "documents")
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup core: groups of rows sharing a normalized-content hash.
+    AA-003 analog (/root/reference/Library/InconPK.R:16-42). One hash
+    groupBy, map-side combinable — the shuffle carries (hash, id), never
+    content."""
     return (
-        d.select("doc_id", F.md5(_normalized()).alias("content_hash"))
+        df.select(F.col(id_col).alias("_id"), F.md5(_normalized(text_col)).alias("content_hash"))
         .groupBy("content_hash")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.min("_id").alias("keeper_id"),
         )
-        .filter(F.col("n_docs") > 1)
+        .filter(F.col("n_files") > 1)
     )
+
+
+def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: exact-duplicate groups over the derived CORPUS (which
+    plants boilerplate duplicates — the raw documents table has none, so
+    running there was a vacuous 0-row check in round 1)."""
+    from data_quality_analysis_spark.corpus import corpus_view
+
+    c = corpus_view(spark, sf_dir)
+    return exact_duplicate_groups(c, id_col="path", text_col="content")
 
 
 def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -140,6 +140,10 @@ def month_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the reference emulates lag with a row-number self-join; a window
     function needs no join at all."""
     ev = load_table(spark, sf_dir, "events")
+    return _daily_deltas(ev)
+
+
+def _daily_deltas(ev: DataFrame) -> DataFrame:
     daily = (
         ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -154,9 +158,15 @@ def month_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def temporal_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CA-008 full analog (/root/reference/Library/TempOutlier.R:85-104):
-    months whose MoM delta falls outside [mean-3*stddev, mean+4*stddev]
-    of all deltas. Two windows + one scalar agg, no self-join."""
-    deltas = month_lag_delta(spark, sf_dir).filter(F.col("delta").isNotNull())
+    buckets whose delta falls outside [mean-3*stddev, mean+4*stddev]
+    of all deltas. Two windows + one scalar agg, no self-join. Runs over
+    the spiked-events fixture (fixtures.SPIKED_EVENTS_SELECT) so the check
+    provably fires — the raw events table has no outlier days."""
+    from data_quality_analysis_spark.fixtures import spiked_events
+
+    deltas = _daily_deltas(spiked_events(spark, sf_dir)).filter(
+        F.col("delta").isNotNull()
+    )
     stats = deltas.agg(
         F.avg("delta").alias("mu"), F.stddev_samp("delta").alias("sigma")
     )

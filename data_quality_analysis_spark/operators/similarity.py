@@ -187,7 +187,16 @@ def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
 def embedding_near_dup(
     spark: SparkSession, sf_dir: str, threshold: float = 0.95
 ) -> DataFrame:
-    return near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold)
+    """Near-dup pairs over the planted-embeddings fixture
+    (fixtures.PLANTED_EMBEDDINGS_SELECT): identical copies guarantee the
+    check fires AND make it fully oracle-checkable — planted pairs share
+    every band bucket (recall exactly 1.0) and organic cosines top out
+    ≈0.51 at sf0.01, so LSH output ≡ exact all-pairs ≥ threshold."""
+    from data_quality_analysis_spark.fixtures import planted_embeddings
+
+    return near_dup_pairs(planted_embeddings(spark, sf_dir), threshold).orderBy(
+        "id_a", "id_b"
+    )
 
 
 # ------------------------------------------------------------------ IVF --
@@ -195,24 +204,29 @@ N_CENTROIDS = 16
 
 
 def _seed_centroids(emb: DataFrame, k: int = N_CENTROIDS) -> np.ndarray:
-    """Deterministic coarse quantizer: unit-normalized seed vectors taken
-    at evenly-spaced vec_id rank positions (k rows collected — O(k·dim)
-    driver memory, independent of corpus size). A Lloyd refinement would
-    drop in here; seeds alone already give the IVF *operator shape*:
-    cell assignment, inverted lists, nprobe search."""
-    ranked = emb.select("vec_id", "embedding").orderBy("vec_id")
-    n = ranked.count()
-    step = max(n // k, 1)
-    rows = (
-        ranked.withColumn(
-            "_rn",
-            F.row_number().over(Window.orderBy("vec_id")),
-        )
-        .filter(((F.col("_rn") - 1) % step == 0) & (F.col("_rn") <= step * k))
-        .collect()
-    )
+    """Deterministic coarse quantizer: k unit-normalized seed vectors
+    chosen by hash order — ``orderBy(xxhash64(vec_id)).limit(k)`` compiles
+    to TakeOrderedAndProject (per-partition top-k, driver merge of k rows),
+    so there is NO global sort and NO single-partition exchange; driver
+    memory is O(k·dim) regardless of corpus size. The hash order is a
+    deterministic pseudo-random shuffle, which is exactly what k-means-style
+    seeding wants (seeds don't need rank spacing, just spread). A Lloyd
+    refinement would drop in here; seeds alone already give the IVF
+    *operator shape*: cell assignment, inverted lists, nprobe search.
+    Plan shape is pinned by tests/test_plans.py::test_ivf_seed_no_global_sort.
+    """
+    rows = _seed_query(emb, k).collect()
     mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
     return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def _seed_query(emb: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
+    """The seed-selection plan, exposed for plan-shape tests."""
+    return (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
+        .limit(k)
+    )
 
 
 def make_cell_udf(centroids: np.ndarray):

@@ -54,6 +54,21 @@ def test_filter_pushdown_anti_join(spark):
     assert "o_orderstatus" in orders_scan.split("DataFilters:")[1].split("]")[0]
 
 
+def test_ivf_seed_no_global_sort(spark):
+    """IVF centroid seeding must be TakeOrdered (per-partition top-k),
+    never a global sort: a Window.orderBy with no partitionBy pulls the
+    whole embeddings table into ONE partition — the round-1 scale bug."""
+    from data_quality_analysis_spark.operators import similarity
+    from data_quality_analysis_spark.session import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(similarity._seed_query(emb))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Window" not in plan
+
+
 def test_dim_join_broadcasts(spark):
     import __spark_entry__ as m
 
