@@ -170,8 +170,10 @@ _RAW_SQL = """
 
 def _text_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KenLM-style bigram perplexity with an explicitly broadcast model
-    table (rules/ngram.py). Rows-only: the 65k-entry model has no sane
-    SQL encoding; pytest verifies against an independent scorer."""
+    table (rules/ngram.py). Full oracle: DuckDB rebuilds the 256×256
+    model from the shared seed text (oracles.ngram_perplexity_oracle) and
+    rescores every document in SQL; pytest additionally verifies against
+    an independent pure-Python scorer."""
     from data_quality_analysis_spark.rules.ngram import ngram_perplexity_documents
 
     return ngram_perplexity_documents(spark, sf_dir)
@@ -212,6 +214,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_hierarchy_rollup": relational.hierarchy_rollup,
     "op_pct_of_total": relational.pct_of_total,
     "op_date_align": relational.date_align,
+    "op_datetime_consistency": relational.datetime_consistency,
     "op_raw_sql": _op_raw_sql,
     # quality-filter extras
     "qf_boilerplate_topk": dedup.corpus_top_hashes,
@@ -415,6 +418,21 @@ def oracle_sql() -> dict[str, str]:
                              CAST(global_max AS DATE)) > 14 AS misaligned
             FROM mx, g
         """,
+        "op_datetime_consistency": """
+            WITH d AS (
+                SELECT event_id, CAST(ts AS DATE) AS ed,
+                       CAST(ts AS DATE) +
+                       CASE WHEN event_id % 11 = 0 THEN 400
+                            WHEN event_id % 7 = 0 THEN 30
+                            ELSE 0 END AS rd
+                FROM events)
+            SELECT event_id,
+                   strftime(ed, '%Y-%m-%d') AS event_date,
+                   strftime(rd, '%Y-%m-%d') AS recorded_date
+            FROM d
+            WHERE year(ed) <> year(rd) AND month(ed) <> month(rd)
+              AND day(ed) <> day(rd)
+        """,
         "qf_boilerplate_topk": oracles.boilerplate_topk_oracle(),
         "op_raw_sql": _RAW_SQL,
         # text / dedup
@@ -495,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
                      / (a.nrm * b.nrm), 6) >= 0.95
         """,
         "text_langid": oracles.langid_documents_oracle(),
+        "text_ngram_perplexity": oracles.ngram_perplexity_oracle(),
         "dedup_ngram_jaccard": r"""
             WITH norm AS (
               SELECT doc_id,
@@ -508,8 +527,13 @@ def oracle_sql() -> dict[str, str]:
                                     FOR i IN generate_series(1, len(toks) - 2)])
                        AS shingles
               FROM norm WHERE len(toks) >= 3),
-            sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
-            inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+            allinv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+            dfreq AS (SELECT shingle FROM allinv
+                      GROUP BY shingle HAVING count(*) <= 100),
+            inv AS (SELECT a.doc_id, a.shingle
+                    FROM allinv a JOIN dfreq USING (shingle)),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                      FROM inv GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      CAST(count(*) AS BIGINT) AS n_inter
@@ -534,6 +558,26 @@ def oracle_sql() -> dict[str, str]:
                    doc_id = min(doc_id) OVER (PARTITION BY content_hash)
                      AS keep
             FROM hashed
+        """,
+        "dedup_simhash": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(lower(trim(
+                       regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))),
+                       ' '), x -> x <> '')) AS tok
+              FROM documents),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                  FROM toks),
+            bitpos AS (SELECT unnest(generate_series(0, 59)) AS i),
+            bits AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN bitpos GROUP BY doc_id, i)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i)
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
         """,
         "sim_brute_topk": """
             WITH q AS (

@@ -175,16 +175,47 @@ def lsh_candidate_pairs(
     )
 
 
+def hot_shingles(
+    df: DataFrame, shingle_n: int = 3, max_df: int = 100
+) -> DataFrame:
+    """The shingles a df-cut drops: (shingle, df) with doc frequency
+    above ``max_df``. Companion to :func:`ngram_jaccard_pairs` — SURVEY's
+    "no silent caps": what the cap removed is one query away."""
+    sh = shingle_rows(df, n=shingle_n)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+    )
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, shingle_n: int = 3, threshold: float = 0.7
+    df: DataFrame, shingle_n: int = 3, threshold: float = 0.7,
+    max_df: int = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard over an inverted shingle index: explode
     shingles, join on shingle (co-occurrence counts = |A∩B|), combine with
     per-doc set sizes for |A∪B|. Only docs sharing ≥1 shingle ever meet —
-    no all-pairs cross join."""
+    no all-pairs cross join.
+
+    ``max_df`` is the document-frequency cut (standard near-dup practice):
+    shingles appearing in more than ``max_df`` docs are dropped from the
+    representation — from BOTH the intersection and the union, so the
+    Jaccard stays self-consistent over the filtered shingle sets. Without
+    it one corpus-wide boilerplate trigram in 10^6 docs would put ~5*10^11
+    pairs in a single join key (the round-1 scale bug); with it each
+    shingle contributes at most max_df^2/2 pairs. The dropped shingles are
+    not silent: :func:`hot_shingles` returns them, and the pair-count
+    bound is pytest-pinned (tests/test_dedup.py hot-shingle case). The
+    DuckDB oracle applies the identical cut.
+    """
     sh = shingle_rows(df, n=shingle_n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inv = sh
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh.join(
+        dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inv = kept
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
@@ -216,26 +247,36 @@ def ngram_jaccard_pairs(
     )
 
 
+SIMHASH_BITS = 60  # 15 md5 hex chars = 60 bits, fits a signed 64-bit long
+
+
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash: per-token xxhash64, sign-sum each bit, sign →
-    fingerprint. Explode + two-phase groupBy (map-side combine)."""
+    """60-bit SimHash: per-token hash, sign-sum each bit, sign →
+    fingerprint. Explode + two-phase groupBy (map-side combine).
+
+    The token hash is the top 60 bits of md5 (via conv(hex,16,10)) rather
+    than xxhash64: identical distribution properties, still fully
+    JVM-side, and — unlike xxhash64 — reproducible in DuckDB
+    (('0x'||substr(md5,1,15))::BIGINT), which upgrades the driver check
+    from rows-only to a full value-hash oracle."""
+    tok_hash = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     toks = df.select(
         "doc_id",
         F.explode(
             F.filter(F.split(_normalized(text_col), " ", -1), lambda x: x != "")
         ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", tok_hash)
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(SIMHASH_BITS)
         ]
     )
     fp = None
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )

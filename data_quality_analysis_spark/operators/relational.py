@@ -293,6 +293,44 @@ def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def datetime_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AA-009 InconDateTime true analog
+    (/root/reference/Library/InconDateTime.R:58-66): compare the date
+    PARTS of a datetime column against a separate date column, flagging a
+    row only when year AND month AND day all differ — the reference's
+    AND-of-`!=` quirk (a row whose month moved but whose year didn't is
+    deliberately NOT flagged). Exercises F.year/F.month/F.dayofmonth
+    column-to-column (F1), which no other query does.
+
+    Events carry no second date column, so one is derived
+    deterministically (the planted-fixture pattern, fixtures.py): every
+    11th event's recorded_date lags 400 days (all three parts differ →
+    flagged), every 7th lags 30 days (month differs, year doesn't → NOT
+    flagged, the quirk's hard case), the rest are consistent."""
+    e = load_table(spark, sf_dir, "events")
+    ed = F.to_date("ts")
+    shift = (
+        F.when(F.col("event_id") % 11 == 0, 400)
+        .when(F.col("event_id") % 7 == 0, 30)
+        .otherwise(0)
+    )
+    d = e.select(
+        "event_id", ed.alias("ed"), F.date_add(ed, shift).alias("rd")
+    )
+    return (
+        d.filter(
+            (F.year("ed") != F.year("rd"))
+            & (F.month("ed") != F.month("rd"))
+            & (F.dayofmonth("ed") != F.dayofmonth("rd"))
+        )
+        .select(
+            "event_id",
+            F.date_format("ed", "yyyy-MM-dd").alias("event_date"),
+            F.date_format("rd", "yyyy-MM-dd").alias("recorded_date"),
+        )
+    )
+
+
 def raw_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     """S3 — raw-SQL escape hatch
     (/root/reference/Library/InconDateTime.R:27-46)."""

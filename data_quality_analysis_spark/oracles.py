@@ -158,6 +158,56 @@ perp AS (
 """
 
 
+def ngram_perplexity_oracle() -> str:
+    """Full-SQL oracle for the broadcast bigram model (rules/ngram.py):
+    the model itself is REBUILT in DuckDB from the shared _SEED_TEXT
+    constant — adjacent byte pairs, +1 Laplace smoothing over the full
+    256×256 grid, log2 row-normalized — then each document is scored as
+    2^(−mean log2 p(cur|prev)). Valid because both the seed text and the
+    documents are ASCII (verified), so ord(char) == the UTF-8 byte the
+    pipeline histograms. Rows with <2 bytes pin to EMPTY_PERPLEXITY."""
+    from data_quality_analysis_spark.rules.ngram import (
+        EMPTY_PERPLEXITY,
+        _SEED_TEXT,
+    )
+
+    seed_lit = _SEED_TEXT.replace("'", "''")
+    return f"""
+WITH seedtext AS (SELECT '{seed_lit}' AS s),
+seedpos AS (SELECT s, unnest(range(1, length(s))) AS i FROM seedtext),
+seedpairs AS (
+  SELECT ord(substr(s, i, 1)) AS prev, ord(substr(s, i + 1, 1)) AS cur
+  FROM seedpos),
+paircounts AS (
+  SELECT prev, cur, CAST(count(*) AS DOUBLE) AS cnt
+  FROM seedpairs GROUP BY 1, 2),
+grid AS (
+  SELECT p.i AS prev, c.i AS cur
+  FROM generate_series(0, 255) AS p(i)
+  CROSS JOIN generate_series(0, 255) AS c(i)),
+counts AS (
+  SELECT g.prev, g.cur, 1.0 + coalesce(pc.cnt, 0.0) AS cnt
+  FROM grid g LEFT JOIN paircounts pc
+    ON g.prev = pc.prev AND g.cur = pc.cur),
+rowsums AS (SELECT prev, sum(cnt) AS tot FROM counts GROUP BY prev),
+model AS (
+  SELECT c.prev, c.cur, log2(c.cnt / r.tot) AS logp
+  FROM counts c JOIN rowsums r ON c.prev = r.prev),
+docs AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+docpos AS (SELECT doc_id, t, unnest(range(1, length(t))) AS i FROM docs),
+docpairs AS (
+  SELECT doc_id, ord(substr(t, i, 1)) AS prev, ord(substr(t, i + 1, 1)) AS cur
+  FROM docpos),
+scores AS (
+  SELECT doc_id, round(pow(2.0, -avg(m.logp)), 4) AS ngram_perplexity
+  FROM docpairs JOIN model m ON docpairs.prev = m.prev AND docpairs.cur = m.cur
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(s.ngram_perplexity, {EMPTY_PERPLEXITY}) AS ngram_perplexity
+FROM docs d LEFT JOIN scores s ON d.doc_id = s.doc_id
+"""
+
+
 # ---------------------------------------------------------------- scrub --
 def _scrub_chain(col: str) -> tuple[str, list[str]]:
     """Chained regexp_replace mirroring scrub.scrub_batch order; returns

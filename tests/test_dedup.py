@@ -78,6 +78,32 @@ def test_simhash_near_dup_small_hamming(spark):
     assert ham <= 16
 
 
+def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
+    """One boilerplate shingle shared by every doc must not explode into
+    O(n^2) pairs: with max_df below the corpus size the hot shingle is
+    dropped from the representation (intersection AND union), and the
+    otherwise-unrelated docs produce no pairs at all."""
+    hot = "copyright acme corp"  # one 3-shingle shared by all docs
+    rows = [
+        (i, f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: every doc pair shares the hot shingle -> 30*29/2 join rows
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.0, max_df=10**9)
+    assert uncapped.count() == 30 * 29 // 2
+    # capped: hot shingle df=30 > 10 -> dropped; no doc pair shares a shingle
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.0, max_df=10)
+    assert capped.count() == 0
+    dropped = dedup.hot_shingles(df, max_df=10).collect()
+    assert [(r["shingle"][:9], r["df"]) for r in dropped] == [("copyright", 30)]
+    # exact dups still found through their non-hot shingles
+    rows2 = rows + [(100, rows[0][1])]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df2, threshold=0.7, max_df=10).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(0, 100, 1.0)]
+
+
 def test_dedup_keep_first_keeps_exactly_one_per_group(spark):
     out = dedup.dedup_keep_first(spark, SF_SMOKE)
     per_group = (
