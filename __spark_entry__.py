@@ -108,6 +108,34 @@ def _qf_rule_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rule_rates(staged, default_catalog())
 
 
+def _qf_offender_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_analysis_spark.rules.verdict import rule_offender_samples
+
+    staged = run_rules(corpus_view(spark, sf_dir))
+    return rule_offender_samples(staged, default_catalog())
+
+
+def _qf_issue_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end 16-column secondary report: current cycle (full corpus)
+    vs previous cycle (corpus minus the hot repo) → issues → reconcile →
+    rank → FileVersion4 projection (rules/report.py)."""
+    from data_quality_analysis_spark.rules.report import secondary_report
+    from data_quality_analysis_spark.rules.verdict import issues_from_rates
+
+    from data_quality_analysis_spark.fixtures import prev_cycle_corpus_select
+
+    cat = default_catalog()
+    c = corpus_view(spark, sf_dir)
+    cur = issues_from_rates(
+        spark, rule_rates(run_rules(c), cat), cat, data_version="r2"
+    )
+    prev_corpus = spark.sql(prev_cycle_corpus_select(CORPUS_SELECT))
+    prev = issues_from_rates(
+        spark, rule_rates(run_rules(prev_corpus), cat), cat, data_version="r1"
+    )
+    return secondary_report(cur, prev)
+
+
 # ------------------------------------------------------- text / dedup ---
 def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(spark, sf_dir).select("doc_id", "fingerprint_md5")
@@ -194,6 +222,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qf_scrubbed": _qf_scrubbed,
     "qf_verdict": _qf_verdict,
     "qf_rule_rates": _qf_rule_rates,
+    "qf_offender_samples": _qf_offender_samples,
+    "qf_issue_lifecycle": _qf_issue_lifecycle,
     # relational operator inventory (SURVEY.md §2)
     "op_group_count": relational.group_count,
     "op_top_k": relational.top_k,
@@ -212,6 +242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_union_distinct": relational.union_distinct_keys,
     "op_format_check": relational.format_check,
     "op_hierarchy_rollup": relational.hierarchy_rollup,
+    "op_hierarchy_expansion": relational.hierarchy_expansion,
     "op_pct_of_total": relational.pct_of_total,
     "op_date_align": relational.date_align,
     "op_datetime_consistency": relational.datetime_consistency,
@@ -262,6 +293,8 @@ def oracle_sql() -> dict[str, str]:
         "qf_scrubbed": oracles.scrub_oracle(),
         "qf_verdict": oracles.verdict_oracle(),
         "qf_rule_rates": oracles.rates_oracle(),
+        "qf_offender_samples": oracles.offenders_oracle(),
+        "qf_issue_lifecycle": oracles.lifecycle_oracle(),
         # relational operators
         "op_group_count": """
             SELECT l_returnflag, l_linestatus,
@@ -396,6 +429,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "op_hierarchy_expansion": """
+            WITH ca AS (
+                SELECT CAST(floor(p_partkey / 10) AS BIGINT) AS anc,
+                       p_partkey AS des, 1 AS lvl FROM part
+                UNION ALL
+                SELECT CAST(floor(p_partkey / 100) AS BIGINT) AS anc,
+                       p_partkey AS des, 2 AS lvl FROM part),
+            top AS (
+                SELECT l_partkey AS seed FROM lineitem
+                GROUP BY 1 ORDER BY count(*) DESC, l_partkey ASC LIMIT 5),
+            anc AS (
+                SELECT t.seed, ca.anc AS related, 'ancestor' AS relation
+                FROM ca JOIN top t ON ca.des = t.seed),
+            des AS (
+                SELECT t.seed, ca.des AS related, 'descendant' AS relation
+                FROM ca JOIN top t ON ca.anc = t.seed),
+            sib AS (
+                SELECT t.seed, a.des AS related, 'sibling' AS relation
+                FROM ca a
+                JOIN ca b ON a.anc = b.anc AND a.lvl = 1 AND b.lvl = 1
+                         AND a.des <> b.des
+                JOIN top t ON b.des = t.seed),
+            expanded AS (
+                SELECT DISTINCT * FROM (
+                    SELECT * FROM anc
+                    UNION ALL SELECT * FROM des
+                    UNION ALL SELECT * FROM sib))
+            SELECT seed, related, relation FROM expanded
+            WHERE related NOT IN (SELECT seed FROM top)
         """,
         "op_pct_of_total": """
             WITH counts AS (

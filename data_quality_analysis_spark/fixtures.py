@@ -27,6 +27,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 SPIKE_DAY = "2024-01-15"
 
+# "Previous cycle" corpus for the lifecycle report (rules/report.py):
+# drop the hot repo AND union in one boilerplate file per even doc_id.
+# Against the current (unmodified) corpus this yields every lifecycle
+# path the driver can show: boilerplate / exact_duplicate /
+# langid_unknown go out-of-band in prev only ('resolved'),
+# mean_line_len stays out-of-band in both with its rate diluted by >10
+# percentage points ('persistent' + a synthesized QF-CA-006 drift row).
+# ('new' requires a rule out-of-band in current only — impossible with a
+# fixed current corpus; covered by tests/test_issue_lifecycle.py.)
+
+
+def prev_cycle_corpus_select(corpus_select: str) -> str:
+    return f"""
+SELECT * FROM ({corpus_select}) WHERE repo <> 'bigcorp/monorepo'
+UNION ALL
+SELECT 'org/legacy' AS repo,
+       'gen/b' || CAST(doc_id AS STRING) || '.txt' AS path,
+       md5('prev' || CAST(doc_id AS STRING)) || substr(md5('pc'), 1, 8)
+         AS commit,
+       'en' AS lang,
+       'MIT License boilerplate block ' || CAST(doc_id % 5 AS STRING)
+         AS content
+FROM documents WHERE doc_id % 2 = 0
+"""
+
 SPIKED_EVENTS_SELECT = f"""
 SELECT event_id, ts, user_id, event_type, value FROM events
 UNION ALL

@@ -279,6 +279,71 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hierarchy_expansion(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """J8 hard case — the UnexTop hierarchy expansion
+    (/root/reference/Library/UnexTop.R:55-99): expand top-K concepts
+    through a closure-table SELF-join with separation filters — ancestors
+    (closure rows ending at the seed), descendants (rows starting at it),
+    and 2-level siblings (ca ⋈ ca on the shared parent, the reference's
+    ca.ancestor_concept_id = ca2.ancestor_concept_id shape) — then
+    anti-join the union against the broadcast expected list.
+
+    The closure table is derived deterministically from part keys as a
+    decimal trie (parent = key/10, grandparent = key/100): two
+    projections + union, no recursion. At scale the sibling self-join is
+    keyed on the parent id — fan-out-bounded buckets (≤10 here); a real
+    concept hierarchy with hot parents would salt this key the same way
+    pipeline.salted_repartition salts hot repos."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    c1 = p.select(
+        F.floor(F.col("p_partkey") / 10).cast("long").alias("anc"),
+        F.col("p_partkey").alias("des"),
+        F.lit(1).alias("lvl"),
+    )
+    c2 = p.select(
+        F.floor(F.col("p_partkey") / 100).cast("long").alias("anc"),
+        F.col("p_partkey").alias("des"),
+        F.lit(2).alias("lvl"),
+    )
+    ca = c1.unionByName(c2)
+    li = load_table(spark, sf_dir, "lineitem")
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l_partkey"))
+        .limit(k)
+        .select(F.col("l_partkey").alias("seed"))
+    )
+    ancs = ca.join(F.broadcast(top), ca.des == F.col("seed")).select(
+        "seed", F.col("anc").alias("related"), F.lit("ancestor").alias("relation")
+    )
+    descs = ca.join(F.broadcast(top), ca.anc == F.col("seed")).select(
+        "seed", F.col("des").alias("related"), F.lit("descendant").alias("relation")
+    )
+    a = ca.filter(F.col("lvl") == 1).alias("a")
+    b = ca.filter(F.col("lvl") == 1).alias("b")
+    sibs = (
+        a.join(
+            b,
+            (F.col("a.anc") == F.col("b.anc"))
+            & (F.col("a.des") != F.col("b.des")),
+        )
+        .join(F.broadcast(top), F.col("b.des") == F.col("seed"))
+        .select(
+            "seed",
+            F.col("a.des").alias("related"),
+            F.lit("sibling").alias("relation"),
+        )
+    )
+    expanded = ancs.unionByName(descs).unionByName(sibs).distinct()
+    allow = top.select(F.col("seed").alias("related"))
+    return (
+        expanded.join(F.broadcast(allow), "related", "left_anti")
+        .select("seed", "related", "relation")
+        .orderBy("seed", "relation", "related")
+    )
+
+
 def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 — percentage-of-total labels
     (/root/reference/Library/CreatePlots.R:96-97): share of each

@@ -234,21 +234,24 @@ def scrub_oracle() -> str:
     )
 
 
-def rates_oracle() -> str:
-    """Per-rule violation rates — the issue-report analog (qf_rule_rates).
-
-    One wide CTE assembles every per-row signal (stage-A flags, window
-    duplicate, langid, perplexity, scrub counts) from the SAME shared
-    constants as the pipeline, then one UNION ALL row per catalog rule
-    computes (violations, total, pct) with the reference's
-    round-then-compare 2dp (/root/reference/Library/MissData.R:25-28)."""
-    from data_quality_analysis_spark.rules.catalog import default_catalog
-
+def _allsig_sql(corpus_sql: str | None = None) -> str:
+    """WITH-prefix assembling every per-row signal (stage-A flags, window
+    duplicate, langid, perplexity, scrub counts) into one ``allsig``
+    relation, from the SAME shared constants as the pipeline. Shared by
+    the rates, offender-sample, and lifecycle oracles. ``corpus_sql``
+    overrides the corpus derivation (the lifecycle oracle's "previous
+    cycle" is a filtered corpus)."""
     lang_cols, lang_case = _langid_case()
     _, scrub_counts = _scrub_chain("content")
     pii_sum = " + ".join(scrub_counts[:-1])
-    full = (
-        _corpus_cte(PERPLEXITY_CTE.strip())
+    corpus_sql = corpus_sql or CORPUS_SELECT
+    parts = [
+        f"corpus AS ({corpus_sql})",
+        f"stats AS ({STATS_SQL})",
+        PERPLEXITY_CTE.strip(),
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
         + f""",
 flags AS (SELECT repo, path, commit, lang, content, is_blank,
     {_FLAG_SELECT}
@@ -274,6 +277,16 @@ allsig AS (
   JOIN scrubc s ON f.repo = s.repo AND f.path = s.path AND f.commit = s.commit)
 """
     )
+
+
+def rates_oracle(corpus_sql: str | None = None) -> str:
+    """Per-rule violation rates — the issue-report analog (qf_rule_rates):
+    one UNION ALL row per catalog rule computes (violations, total, pct)
+    with the reference's round-then-compare 2dp
+    (/root/reference/Library/MissData.R:25-28)."""
+    from data_quality_analysis_spark.rules.catalog import default_catalog
+
+    full = _allsig_sql(corpus_sql)
     selects = [
         f"SELECT '{r.name}' AS rule_name,\n"
         f"  CAST(sum(CASE WHEN viol_{r.name} THEN 1 ELSE 0 END) AS BIGINT)"
@@ -284,6 +297,140 @@ allsig AS (
         for r in default_catalog()
     ]
     return full + "\nUNION ALL\n".join(selects)
+
+
+def offenders_oracle(k: int = 5, max_len: int = 1000) -> str:
+    """Example-offender samples per violated rule: the k smallest paths,
+    '; '-joined, truncated to max_len (the reference's 1000-char message
+    truncation, /root/reference/Library/InvalidFormat.R:36-43)."""
+    from data_quality_analysis_spark.rules.catalog import default_catalog
+
+    full = _allsig_sql()
+    selects = [
+        f"SELECT '{r.name}' AS rule_name,\n"
+        f"  CAST(count(*) AS BIGINT) AS n_shown,\n"
+        f"  substr(string_agg(path, '; ' ORDER BY path), 1, {max_len})"
+        f" AS examples\n"
+        f"FROM (SELECT path FROM allsig WHERE viol_{r.name}"
+        f" ORDER BY path LIMIT {k})\n"
+        f"HAVING count(*) > 0"
+        for r in default_catalog()
+    ]
+    return full + "\nUNION ALL\n".join(selects)
+
+
+# ------------------------------------------------------------ lifecycle --
+# The lifecycle oracle's "previous cycle" (see fixtures.py for why this
+# exact perturbation): deterministic, and different enough that resolved /
+# persistent / drift statuses all occur.
+from data_quality_analysis_spark.fixtures import prev_cycle_corpus_select
+
+PREV_CYCLE_CORPUS = prev_cycle_corpus_select(CORPUS_SELECT)
+
+
+def _rank_case_sql() -> str:
+    """DEFAULT_RANKING compiled to one first-match-wins CASE — the same
+    compilation rules/ranking.py applies as chained F.when."""
+    from data_quality_analysis_spark.rules.ranking import DEFAULT_RANKING
+
+    whens = []
+    for rule in DEFAULT_RANKING:
+        conds = []
+        if rule.tables is not None:
+            vals = ", ".join(f"'{t}'" for t in rule.tables)
+            conds.append(f"tbl IN ({vals})")
+        if rule.codes is not None:
+            vals = ", ".join(f"'{c}'" for c in rule.codes)
+            conds.append(f"issue_code IN ({vals})")
+        if rule.prevalences is not None:
+            vals = ", ".join(f"'{p}'" for p in rule.prevalences)
+            conds.append(f"cur_prevalence IN ({vals})")
+        if rule.field_like is not None:
+            conds.append(f"field LIKE '{rule.field_like}'")
+        whens.append(
+            f"WHEN {' AND '.join(conds) if conds else 'TRUE'}"
+            f" THEN '{rule.rank}'"
+        )
+    return "CASE " + " ".join(whens) + " ELSE NULL END"
+
+
+_PREVALENCE_CASE = (
+    "CASE WHEN abs(pct) <= 1 THEN 'low' WHEN abs(pct) < 30 THEN 'medium' "
+    "WHEN abs(pct) < 100 THEN 'high' ELSE 'full' END"
+)
+
+_FINDING_EXPR = (
+    "'violation rate ' || CAST(pct AS VARCHAR) || '% (' || "
+    "CAST(violations AS VARCHAR) || '/' || CAST(total AS VARCHAR) || ')'"
+)
+
+
+def lifecycle_oracle(
+    data_version: str = "r2", drift_pct: float = 10.0
+) -> str:
+    """Full-SQL oracle for the composed 16-column secondary report
+    (rules/report.py): both cycles' rates (current corpus vs the
+    previous-cycle corpus), threshold filter → issues, full outer join →
+    status, drift synthesis, first-match-wins rank, FileVersion4
+    projection — all regenerated from the shared catalog/ranking
+    constants."""
+    from data_quality_analysis_spark import __version__
+    from data_quality_analysis_spark.rules.catalog import default_catalog
+
+    cat_rows = []
+    for r in default_catalog():
+        desc = r.description.replace("'", "''")
+        lo = "NULL" if r.lower is None else repr(float(r.lower))
+        hi = "NULL" if r.upper is None else repr(float(r.upper))
+        cat_rows.append(f"('{r.name}', '{r.code}', '{desc}', {lo}, {hi})")
+    cat_values = ",\n      ".join(cat_rows)
+
+    def issues_cte(rates_sql: str) -> str:
+        return f"""
+  SELECT 'corpus' AS tbl, 'content' AS field, c.code AS issue_code,
+         r.rule_name AS alias, {_FINDING_EXPR} AS finding,
+         {_PREVALENCE_CASE} AS prevalence, r.pct AS pct
+  FROM (SELECT * FROM ({rates_sql}) _r) r
+  JOIN cat c ON r.rule_name = c.rule_name
+  WHERE (c.lower_b IS NOT NULL AND r.pct < c.lower_b)
+     OR (c.upper_b IS NOT NULL AND r.pct > c.upper_b)"""
+
+    return f"""
+WITH cat(rule_name, code, description, lower_b, upper_b) AS (
+    VALUES {cat_values}),
+cur_issues AS ({issues_cte(rates_oracle())}),
+prev_issues AS ({issues_cte(rates_oracle(PREV_CYCLE_CORPUS))}),
+merged AS (
+  SELECT coalesce(c.tbl, p.tbl) AS tbl,
+         coalesce(c.field, p.field) AS field,
+         coalesce(c.issue_code, p.issue_code) AS issue_code,
+         coalesce(c.alias, p.alias) AS alias,
+         CASE WHEN c.issue_code IS NULL THEN 'resolved'
+              WHEN p.issue_code IS NULL THEN 'new'
+              ELSE 'persistent' END AS status,
+         c.finding AS cur_finding,
+         c.prevalence AS cur_prevalence,
+         round(c.pct - p.pct, 2) AS delta
+  FROM cur_issues c FULL OUTER JOIN prev_issues p
+    ON c.tbl = p.tbl AND c.field = p.field
+   AND c.issue_code = p.issue_code AND c.alias = p.alias),
+drift AS (
+  SELECT tbl, field, 'QF-CA-006' AS issue_code, alias || '_drift' AS alias,
+         'drift' AS status, cur_finding, cur_prevalence, delta
+  FROM merged
+  WHERE status = 'persistent' AND abs(delta) > {drift_pct}),
+unioned AS (
+  SELECT * FROM merged UNION ALL SELECT * FROM drift),
+ranked AS (SELECT *, {_rank_case_sql()} AS rank FROM unioned)
+SELECT 'quality_filter' AS model, '1.0' AS model_version,
+       '{data_version}' AS data_version, '{__version__}' AS dqa_version,
+       tbl AS table_name, field, issue_code AS check_code,
+       alias AS check_alias, string_split(issue_code, '-')[2] AS check_type,
+       cur_finding AS finding, cur_prevalence AS prevalence, rank,
+       CAST(NULL AS VARCHAR) AS cause, status,
+       CAST(NULL AS VARCHAR) AS github_id, 'automated' AS method
+FROM ranked
+"""
 
 
 # -------------------------------------------------------------- verdict --

@@ -1,0 +1,65 @@
+"""Secondary-report composition — the reference's 16-column issues table.
+
+The reference's Go CLI stores each cycle's annotated issues in a 16-column
+CSV (/root/reference/Tools/dqa/results/file.go:105-122 FileVersion4:
+Model, Model Version, Data Version, DQA Version, Table, Field, Check
+Code, Check Alias, Check Type, Finding, Prevalence, Rank, Cause, Status,
+Github ID, Method) and queries it cross-cycle
+(/root/reference/Tools/dqa/query/db.go:18-38). Round 1 implemented the
+three ingredients — ``issues_from_rates`` (verdict.py), ``reconcile``
+(resolution.py), ``apply_ranking`` (ranking.py) — but never composed
+them; this module emits the one end-to-end table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark import __version__ as DQA_VERSION
+from data_quality_analysis_spark.rules.ranking import RankingRule, apply_ranking
+from data_quality_analysis_spark.rules.resolution import reconcile
+
+MODEL = "quality_filter"
+MODEL_VERSION = "1.0"
+METHOD = "automated"
+
+
+def secondary_report(
+    current: DataFrame,
+    previous: DataFrame,
+    data_version: str = "r2",
+    drift_pct: float = 10.0,
+    rules: list[RankingRule] | None = None,
+) -> DataFrame:
+    """current ⟗ previous issues → the 16-column FileVersion4 shape.
+
+    Composition: ``reconcile`` supplies status + the BA-001→CA-006 drift
+    synthesis; ``apply_ranking`` supplies rank (resolved rows have NULL
+    prevalence and fall through every rule → unranked, exactly like the
+    reference leaves them); the projection maps to the Go file schema.
+    ``cause``/``github_id`` are human/automation annotations the
+    reference merges from the previous cycle's review — NULL here (no
+    reviewer in the loop)."""
+    merged = reconcile(current, previous, drift_pct=drift_pct)
+    ranked = apply_ranking(
+        merged.withColumn("prevalence", F.col("cur_prevalence")), rules
+    )
+    return ranked.select(
+        F.lit(MODEL).alias("model"),
+        F.lit(MODEL_VERSION).alias("model_version"),
+        F.lit(data_version).alias("data_version"),
+        F.lit(DQA_VERSION).alias("dqa_version"),
+        F.col("table").alias("table_name"),
+        "field",
+        F.col("issue_code").alias("check_code"),
+        F.col("alias").alias("check_alias"),
+        F.split("issue_code", "-")[1].alias("check_type"),
+        F.col("cur_finding").alias("finding"),
+        "prevalence",
+        "rank",
+        F.lit(None).cast("string").alias("cause"),
+        "status",
+        F.lit(None).cast("string").alias("github_id"),
+        F.lit(METHOD).alias("method"),
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import or_
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_quality_analysis_spark.rules.catalog import RuleCatalog
@@ -57,6 +57,53 @@ def rule_rates(df: DataFrame, catalog: RuleCatalog) -> DataFrame:
         "violations",
         "total",
         F.round(F.col("violations") * 100.0 / F.col("total"), 2).alias("pct"),
+    )
+
+
+def rule_offender_samples(
+    df: DataFrame,
+    catalog: RuleCatalog,
+    k: int = 5,
+    max_len: int = 1000,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Example offenders per violated rule — the reference collects
+    offending values into the issue message truncated to 1000 chars
+    (/root/reference/Library/InvalidFormat.R:36-43). Here: the k
+    lexicographically-smallest offending paths per rule, '; '-joined and
+    truncated to ``max_len``.
+
+    Deterministic min-k per rule WITHOUT a hot 14-key shuffle: phase 1
+    takes per-(rule, salt) min-k via row_number (bounded buckets), phase
+    2 re-ranks the surviving k·n_salt rows per rule — so no reducer ever
+    sees more than k·n_salt rows however many offenders exist."""
+    stack_expr = ", ".join(f"'{r.name}', viol_{r.name}" for r in catalog)
+    long = df.select(
+        "path",
+        F.expr(
+            f"stack({len(list(catalog))}, {stack_expr}) as (rule_name, viol)"
+        ),
+    ).filter(F.col("viol"))
+    w1 = Window.partitionBy("rule_name", "_salt").orderBy("path")
+    phase1 = (
+        long.withColumn("_salt", F.pmod(F.xxhash64("path"), F.lit(n_salt)))
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+    )
+    w2 = Window.partitionBy("rule_name").orderBy("path")
+    topk = phase1.withColumn("_rn2", F.row_number().over(w2)).filter(
+        F.col("_rn2") <= k
+    )
+    return (
+        topk.groupBy("rule_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_shown"),
+            F.substring(
+                F.array_join(F.array_sort(F.collect_list("path")), "; "),
+                1,
+                max_len,
+            ).alias("examples"),
+        )
     )
 
 

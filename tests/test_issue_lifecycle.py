@@ -91,6 +91,45 @@ def test_reconcile_lifecycle(spark):
     assert drift["finding_delta_pct"] == 35.0
 
 
+def test_secondary_report_16_column_shape(spark):
+    """The composed FileVersion4 table (rules/report.py): 16 columns in
+    the reference's schema (Tools/dqa/results/file.go:105-122), every
+    lifecycle status represented, ranks attached, resolved rows carry no
+    finding."""
+    from data_quality_analysis_spark.rules.report import secondary_report
+
+    prev = _issues(spark, [
+        _row(version="r1", alias="empty_content", pct=10.0),
+        _row(version="r1", alias="gone", code="QF-CA-011a", pct=3.0),
+        _row(version="r1", alias="drifter", code="QF-CB-003", pct=5.0),
+    ])
+    cur = _issues(spark, [
+        _row(version="r2", alias="empty_content", pct=11.0),
+        _row(version="r2", alias="brand_new", code="QF-TOX-001", pct=1.0),
+        _row(version="r2", alias="drifter", code="QF-CB-003", pct=40.0),
+    ])
+    rep = secondary_report(cur, prev, data_version="r2")
+    assert rep.columns == [
+        "model", "model_version", "data_version", "dqa_version",
+        "table_name", "field", "check_code", "check_alias", "check_type",
+        "finding", "prevalence", "rank", "cause", "status", "github_id",
+        "method",
+    ]
+    rows = {r["check_alias"]: r for r in rep.collect()}
+    assert rows["empty_content"]["status"] == "persistent"
+    assert rows["brand_new"]["status"] == "new"
+    assert rows["gone"]["status"] == "resolved"
+    assert rows["gone"]["finding"] is None
+    assert rows["drifter_drift"]["status"] == "drift"
+    assert rows["drifter_drift"]["check_code"] == "QF-CA-006"
+    assert rows["drifter_drift"]["check_type"] == "CA"
+    assert rows["brand_new"]["check_type"] == "TOX"
+    # PII/TOX codes rank High regardless of prevalence (first rule)
+    assert rows["brand_new"]["rank"] == "High"
+    assert all(r["model"] == "quality_filter" for r in rows.values())
+    assert all(r["method"] == "automated" for r in rows.values())
+
+
 def test_reconcile_identical_runs_all_persistent_no_drift(spark):
     cur = _issues(spark, [_row(version="r2"), _row(version="r2", alias="b")])
     prev = _issues(spark, [_row(version="r1"), _row(version="r1", alias="b")])
