@@ -100,9 +100,12 @@ def run_pipeline_once(spark, sf_dir: str, replication: int) -> tuple[int, float]
 
     from data_quality_analysis_spark.corpus import synthetic_corpus
     from data_quality_analysis_spark.pipeline import salted_repartition, verdicts
+    from data_quality_analysis_spark.rules.heuristics import duplicated_shas
 
     corpus = synthetic_corpus(spark, sf_dir, replication=replication)
-    v = verdicts(salted_repartition(corpus))
+    # production dup-flag path: aggregate-then-AQE-join, not the full-row
+    # content_sha window (~1.8× faster at 1.6M files, tools/bench_dupflag.py)
+    v = verdicts(salted_repartition(corpus), dup_shas=duplicated_shas(corpus))
     t0 = time.perf_counter()
     row = v.agg(
         F.count(F.lit(1)).alias("files"),

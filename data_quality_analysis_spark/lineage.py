@@ -59,6 +59,37 @@ def _marker_path(out_dir: str, bucket: int) -> str:
     return os.path.join(_lineage_dir(out_dir), f"bucket_{bucket:05d}.json")
 
 
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(_lineage_dir(out_dir), "manifest.json")
+
+
+def _check_manifest(out_dir: str, n_buckets: int, data_version: str) -> None:
+    """Resume safety: bucket markers only mean what the original run's
+    parameters say they mean — ``pmod(xxhash64(repo), n_buckets)`` with a
+    different ``n_buckets`` assigns files to different buckets, so
+    resuming with changed parameters would silently skip or double-write.
+    The manifest records them; a mismatch refuses loudly (round-1
+    ADVICE)."""
+    p = _manifest_path(out_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            m = json.load(f)
+        if m["n_buckets"] != n_buckets or m["data_version"] != data_version:
+            raise ValueError(
+                f"resume parameter mismatch: output dir was written with "
+                f"n_buckets={m['n_buckets']} data_version="
+                f"{m['data_version']!r}, this invocation has "
+                f"n_buckets={n_buckets} data_version={data_version!r}; "
+                f"use a fresh output dir (or the original parameters)"
+            )
+    else:
+        os.makedirs(_lineage_dir(out_dir), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_buckets": n_buckets, "data_version": data_version}, f)
+        os.replace(tmp, p)
+
+
 def completed_buckets(out_dir: str) -> set[int]:
     d = _lineage_dir(out_dir)
     if not os.path.isdir(d):
@@ -96,6 +127,7 @@ def run_with_lineage(
     """
     catalog = catalog or default_catalog()
     t0 = time.perf_counter()
+    _check_manifest(out_dir, n_buckets, data_version)
     done = completed_buckets(out_dir)
     pending = [b for b in range(n_buckets) if b not in done]
     ran: list[int] = []
@@ -104,13 +136,25 @@ def run_with_lineage(
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
     verdict_path = os.path.join(out_dir, "verdicts")
 
+    # Corpus-GLOBAL duplicated-sha set, materialized once (scratch S7):
+    # batching must not change verdicts, but the duplicate rule is the one
+    # cross-row rule — computed per batch it misses pairs split across
+    # batches and breaks full-run ≡ crash+resume (round-1 ADVICE). The
+    # aggregation shuffles (sha, count) pairs only; the parquet write is
+    # idempotent and reused on resume (manifest pins data_version).
+    dup_path = os.path.join(out_dir, "dup_shas.parquet")
+    if pending and not os.path.exists(os.path.join(dup_path, "_SUCCESS")):
+        from data_quality_analysis_spark.rules.heuristics import duplicated_shas
+
+        duplicated_shas(corpus).write.mode("overwrite").parquet(dup_path)
+
     bucketed = with_bucket(corpus, n_buckets)
     batches = [
         pending[i : i + batch_size] for i in range(0, len(pending), batch_size)
     ]
     for batch_no, batch in enumerate(batches):
         part = bucketed.filter(F.col(BUCKET_COL).isin(batch))
-        staged = run_rules(part, catalog)
+        staged = run_rules(part, catalog, dup_shas=spark.read.parquet(dup_path))
         result = staged.select(
             BUCKET_COL,
             *KEY_COLS,

@@ -27,7 +27,14 @@ from data_quality_analysis_spark.rules.scrub import (
     PII_PATTERNS,
 )
 
-_LANG_RE = [(lang, re.compile(r"\b(?:" + "|".join(w) + r")\b")) for lang, w in LANG_PROFILES]
+# re.ASCII: the engine's word-boundary semantics are ASCII (RE2-style),
+# shared by the tokenized scorer ([A-Za-z0-9_]+ findall), DuckDB's RE2
+# regexes, and this oracle — so 'émit' contains the word 'mit' in all
+# three (Python's default Unicode \b would disagree; see scoring.py).
+_LANG_RE = [
+    (lang, re.compile(r"\b(?:" + "|".join(w) + r")\b", re.ASCII))
+    for lang, w in LANG_PROFILES
+]
 _PII_RE = [(n, re.compile(p), r) for n, p, r in PII_PATTERNS]
 _BLOCK_RE = re.compile(BLOCKLIST_PATTERN)
 

@@ -18,6 +18,7 @@ from data_quality_analysis_spark.rules.catalog import RuleCatalog, default_catal
 from data_quality_analysis_spark.rules.heuristics import (
     with_content_stats,
     with_duplicate_flag,
+    with_duplicate_flag_from_set,
     with_heuristic_flags,
 )
 from data_quality_analysis_spark.rules.analyze import with_analysis
@@ -47,19 +48,36 @@ def salted_repartition(
     return df.repartition(num_partitions, key) if num_partitions else df.repartition(key)
 
 
-def run_rules(df: DataFrame, catalog: RuleCatalog | None = None) -> DataFrame:
-    """Corpus DataFrame → per-file verdict DataFrame (all stages fused)."""
+def run_rules(
+    df: DataFrame,
+    catalog: RuleCatalog | None = None,
+    dup_shas: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus DataFrame → per-file verdict DataFrame (all stages fused).
+
+    ``dup_shas``: optional precomputed duplicated-sha set
+    (heuristics.duplicated_shas). When given, the duplicate flag comes
+    from a broadcast join against it instead of the content_sha window —
+    no full-row shuffle, and the flag stays corpus-global even when
+    ``df`` is one batch of a larger corpus (lineage.run_with_lineage)."""
     catalog = catalog or default_catalog()
     staged = with_content_stats(df)
     staged = with_heuristic_flags(staged, catalog)
-    staged = with_duplicate_flag(staged)
+    if dup_shas is None:
+        staged = with_duplicate_flag(staged)
+    else:
+        staged = with_duplicate_flag_from_set(staged, dup_shas)
     staged = with_analysis(staged)
     return with_verdict(staged, catalog)
 
 
-def verdicts(df: DataFrame, catalog: RuleCatalog | None = None) -> DataFrame:
+def verdicts(
+    df: DataFrame,
+    catalog: RuleCatalog | None = None,
+    dup_shas: DataFrame | None = None,
+) -> DataFrame:
     """The product table: key columns + verdict + scrubbed content hash."""
-    full = run_rules(df, catalog)
+    full = run_rules(df, catalog, dup_shas=dup_shas)
     return full.select(
         *KEY_COLS,
         "lang",
@@ -81,9 +99,21 @@ def run_pipeline(
     num_partitions: int | None = None,
     data_version: str = "r1",
 ) -> tuple[DataFrame, DataFrame]:
-    """(verdicts, issues) for a corpus DataFrame."""
+    """(verdicts, issues) for a corpus DataFrame.
+
+    Production composition: the duplicate flag comes from the
+    aggregate-then-join path (duplicated_shas — the shuffle carries
+    (sha, count) pairs, never content; AQE broadcasts the dup set when
+    small). Measured ~1.8× faster than the content_sha window at 1.6M
+    files and the gap widens with scale (BENCH.md)."""
+    from data_quality_analysis_spark.rules.heuristics import duplicated_shas
+
     catalog = catalog or default_catalog()
-    staged = run_rules(salted_repartition(corpus, num_partitions), catalog)
+    staged = run_rules(
+        salted_repartition(corpus, num_partitions),
+        catalog,
+        dup_shas=duplicated_shas(corpus),
+    )
     v = staged.select(
         *KEY_COLS,
         "lang",

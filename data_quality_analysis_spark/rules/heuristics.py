@@ -89,13 +89,59 @@ def with_heuristic_flags(df: DataFrame, catalog: RuleCatalog) -> DataFrame:
 def with_duplicate_flag(df: DataFrame) -> DataFrame:
     """AA-003 analog: same content hash under >1 file key → duplicate.
 
-    Window over ``content_sha`` (one hash shuffle). At 100 TB this is the
-    pipeline's big exchange; AQE splits skewed hash buckets (a corpus-wide
-    boilerplate hash is exactly such a bucket). Blank content is exempt —
-    the empty_content rule owns that case.
+    Window over ``content_sha`` (one hash shuffle). This shuffles FULL
+    rows (including content) by the hash — simple, but at 100 TB the
+    pipeline's one big exchange carries the whole corpus. The
+    aggregate-then-join alternative (:func:`duplicated_shas` +
+    :func:`with_duplicate_flag_from_set`) shuffles only (sha, count)
+    pairs; lineage.run_with_lineage uses it, which also makes the flag
+    corpus-global under batched execution. AQE splits skewed hash buckets
+    (a corpus-wide boilerplate hash is exactly such a bucket). Blank
+    content is exempt — the empty_content rule owns that case.
     """
     w = Window.partitionBy("content_sha")
     return df.withColumn(
         "viol_exact_duplicate",
         (F.count(F.lit(1)).over(w) > 1) & ~F.col("is_blank"),
+    )
+
+
+def duplicated_shas(corpus: DataFrame, content: str = "content") -> DataFrame:
+    """Corpus-global duplicated-hash set: one groupBy over sha256 —
+    map-side partial aggregation means the shuffle carries (32-byte sha,
+    count) pairs only, never content. Typically ≪ corpus (only hashes
+    seen >1×)."""
+    return (
+        corpus.select(F.sha2(F.col(content), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("content_sha")
+    )
+
+
+def with_duplicate_flag_from_set(
+    df: DataFrame, dup_shas: DataFrame, broadcast: bool = False
+) -> DataFrame:
+    """Duplicate flag via a precomputed duplicated-sha set: left join on
+    content_sha. Default leaves the strategy to AQE, which broadcasts at
+    runtime when the dup set is small (the usual case — measured
+    fastest, see BENCH.md) and degrades to a shuffle join instead of an
+    OOM on adversarial corpora where the dup set is a large fraction of
+    the corpus; ``broadcast=True`` forces the hint. Semantically
+    identical to
+    :func:`with_duplicate_flag` as long as ``dup_shas`` was computed over
+    the same (or a superset) corpus — which is exactly the point: under
+    batched execution the set comes from the WHOLE corpus, so pairs split
+    across batches still flag (round-1 lineage bug)."""
+    dup = dup_shas.select("content_sha", F.lit(True).alias("_dup"))
+    if broadcast:
+        dup = F.broadcast(dup)
+    return (
+        df.join(dup, "content_sha", "left")
+        .withColumn(
+            "viol_exact_duplicate",
+            F.coalesce(F.col("_dup"), F.lit(False)) & ~F.col("is_blank"),
+        )
+        .drop("_dup")
     )

@@ -50,9 +50,12 @@ def detect_lang_batch(texts: pd.Series) -> pd.Series:
     """Vectorized language ID over one Arrow batch.
 
     One tokenizing regex pass + a dict lookup per token, instead of one
-    `\\b(...)\\b` scan per language (2× faster, property-tested equal:
-    `[A-Za-z0-9_]+` runs reproduce \\b boundaries exactly because \\b
-    treats digits/underscore as word chars)."""
+    `\\b(...)\\b` scan per language (2× faster, property-tested equal).
+    Word-boundary semantics are ASCII (RE2-style): `[A-Za-z0-9_]+` runs
+    reproduce `\\b` boundaries with ASCII word chars exactly, which is
+    also what the DuckDB oracle's RE2 `\\b` means — so 'émit' counts a
+    hit for 'mit' in both engines (Python's default Unicode `\\b` would
+    not; the pure-Python oracle therefore compiles with re.ASCII)."""
     s = texts.fillna("").reset_index(drop=True)  # labels become positions
     toks = s.str.findall(r"[A-Za-z0-9_]+").explode()
     mapped = toks.map(_WORD2IDX).dropna()

@@ -23,16 +23,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_quality_analysis_spark.streaming import CORPUS_SCHEMA
 
+# NULL sentinel: with Spark CSV's default nullValue="", empty content
+# reads back as NULL, so a sentinel is required. The conventional "\N"
+# collides with content that IS the literal two-char string \N (it is
+# written unquoted and reads back as NULL — round-1 ADVICE). The
+# sentinel is compared against the *unescaped* value, so quoting cannot
+# fix the collision; instead use a string no real file plausibly equals
+# (NUL bytes would be ideal but univocity strips them on write).
+# Residual (documented) limitation: content exactly equal to this
+# sentinel would still round-trip to NULL.
+CSV_NULL_SENTINEL = "__DQA_NULL_7f3a9c1e__"
+
 _CSV_OPTS = {
     # content carries embedded newlines and quotes; spark's csv needs
-    # explicit multiLine + quote-escape to round-trip them. The \\N null
-    # sentinel keeps NULL distinguishable from '' (with the default
-    # nullValue="", empty content reads back as null).
+    # explicit multiLine + quote-escape to round-trip them.
     "multiLine": "true",
     "header": "true",
     "quote": '"',
     "escape": '"',
-    "nullValue": "\\N",
+    "nullValue": CSV_NULL_SENTINEL,
 }
 
 

@@ -31,6 +31,9 @@ _fragments = st.sampled_from([
     "badword1", "badword1s", "xbadword2", "badword3", "<EMAIL>", "<IP>",
     "los datos con para", "der die das und", " ", "\n", "\t", ".", "@",
     "0", "é£", "漢字", "", "a" * 50,
+    # non-ASCII word char ABUTTING a profile word: ASCII-\b semantics
+    # count 'mit'/'the' here; Python's Unicode \b would not (ADVICE r1)
+    "émit", "éthe", "theé", "数the数", "fastétheéof",
 ])
 texts = st.lists(_fragments, min_size=0, max_size=12).map(" ".join)
 batches = st.lists(texts, min_size=1, max_size=20)

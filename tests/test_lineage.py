@@ -72,6 +72,59 @@ def test_resume_on_complete_run_is_noop(spark, tmp_path):
     assert sorted(report.skipped) == [0, 1, 2, 3]
 
 
+def test_cross_batch_duplicates_flagged(spark, tmp_path):
+    """The duplicate rule is corpus-global: a pair split across buckets
+    (and therefore across single-bucket batches) must still flag — the
+    round-1 bug computed the window per batch and missed it. Also pins
+    batching-invariance: batched verdicts ≡ one-shot run_rules."""
+    from data_quality_analysis_spark import lineage as ln
+    from data_quality_analysis_spark.pipeline import run_rules
+
+    body = "def main():\n    return compute_the_answer(42) + offset\n" * 3
+    rows = [
+        (f"org/repo{i}", f"src/a{i}.py", f"c{i:040d}", "en",
+         body if i in (0, 5) else body + f" # distinct {i}\n")
+        for i in range(8)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    # the two dup repos must land in different buckets for the test to bite
+    b = {
+        r["repo"]: r["bucket"]
+        for r in ln.with_bucket(corpus, 4).select("repo", "bucket").collect()
+    }
+    assert b["org/repo0"] != b["org/repo5"], "pick repos hashing apart"
+
+    out = str(tmp_path / "xbatch")
+    ln.run_with_lineage(spark, corpus, out, n_buckets=4, batch_size=1)
+    got = {
+        r["path"]: (r["keep"], set(r["rules_violated"]))
+        for r in ln.read_verdicts(spark, out).collect()
+    }
+    assert "exact_duplicate" in got["src/a0.py"][1]
+    assert "exact_duplicate" in got["src/a5.py"][1]
+    expected = {
+        r["path"]: (r["keep"], set(r["rules_violated"]))
+        for r in run_rules(corpus).select(
+            "path", "keep", "rules_violated"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_resume_with_changed_params_refuses(spark, tmp_path):
+    out = str(tmp_path / "run")
+    corpus = corpus_view(spark, SF)
+    lineage.run_with_lineage(spark, corpus, out, n_buckets=4, batch_size=4)
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        lineage.run_with_lineage(spark, corpus, out, n_buckets=8, batch_size=4)
+    with pytest.raises(ValueError, match="data_version"):
+        lineage.run_with_lineage(
+            spark, corpus, out, n_buckets=4, batch_size=4, data_version="r9"
+        )
+
+
 def test_metrics_and_drift(spark, tmp_path):
     out = str(tmp_path / "run")
     corpus = corpus_view(spark, SF)

@@ -29,6 +29,27 @@ def test_pipeline_one_exchange_one_python_stage(spark):
     )
 
 
+def test_dupset_pipeline_no_fullrow_shuffle(spark):
+    """Production dup-flag path (run_pipeline / lineage / bench): the
+    only hash exchange is the content_sha AGGREGATION (map-side combined
+    (sha, count) pairs — never content), the dup set joins back as a
+    broadcast under AQE, and no Window operator remains. The score+scrub
+    UDFs must stay fused exactly as in the window variant."""
+    from data_quality_analysis_spark.rules.heuristics import duplicated_shas
+
+    corpus = corpus_view(spark, SF_SMOKE)
+    df = run_rules(corpus, dup_shas=duplicated_shas(corpus))
+    df.count()  # let AQE finalize the runtime plan
+    plan = _plan(df)
+    assert plan.count("ArrowEvalPython") == 1, "score+scrub must stay fused"
+    assert "Window" not in plan, "no full-row content_sha window"
+    assert "BroadcastHashJoin" in plan, "AQE must broadcast the dup set"
+    assert "SortMergeJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "content#" not in line, f"full-row shuffle: {line}"
+
+
 def test_scan_pruning_group_count(spark):
     import __spark_entry__ as m
 

@@ -28,6 +28,27 @@ def test_roundtrip(spark, tmp_path, scheme):
     assert _rows(back) == _rows(corpus)
 
 
+def test_csv_literal_backslash_n_content_roundtrips(spark, tmp_path):
+    r"""Content that IS the string \N (the conventional CSV null marker)
+    must survive a csv round-trip, and NULLs must stay NULL — the round-1
+    sentinel collision (ADVICE)."""
+    rows = [
+        ("org/a", "f1", "c1", "en", "\\N"),
+        ("org/a", "f2", "c2", None, None),
+        ("org/a", "f3", "c3", "en", ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    spec = f"csv:{tmp_path}/sentinel"
+    sources.write_corpus(df, spec)
+    got = {r["path"]: (r["lang"], r["content"])
+           for r in sources.read_corpus(spark, spec).collect()}
+    assert got["f1"] == ("en", "\\N")
+    assert got["f2"] == (None, None)
+    assert got["f3"] == ("en", "")
+
+
 def test_bare_path_is_parquet(spark, tmp_path):
     corpus = corpus_view(spark, SF_SMOKE)
     path = str(tmp_path / "bare")

@@ -1,0 +1,66 @@
+"""A/B bench: duplicate-flag via content_sha window (full-row shuffle)
+vs corpus-global duplicated-sha aggregation + broadcast join (hash-only
+shuffle + extra corpus scan). Decides run_rules' default strategy; see
+BENCH.md for the recorded numbers."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def run(spark, corpus, variant: str) -> tuple[int, float]:
+    from data_quality_analysis_spark.pipeline import run_rules, salted_repartition
+    from data_quality_analysis_spark.rules.heuristics import duplicated_shas
+
+    t0 = time.perf_counter()
+    if variant == "window":
+        staged = run_rules(salted_repartition(corpus))
+    else:
+        staged = run_rules(
+            salted_repartition(corpus), dup_shas=duplicated_shas(corpus)
+        )
+    row = staged.agg(
+        F.count(F.lit(1)).alias("files"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum(F.col("viol_exact_duplicate").cast("long")).alias("dups"),
+    ).collect()[0]
+    return (int(row["files"]), int(row["kept"]), int(row["dups"]),
+            time.perf_counter() - t0)
+
+
+def main() -> None:
+    from data_quality_analysis_spark.corpus import synthetic_corpus
+    from data_quality_analysis_spark.session import get_spark
+
+    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    spark = get_spark(
+        app_name="bench-dupflag", master="local[32]",
+        shuffle_partitions=128,
+        extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+    )
+    corpus = synthetic_corpus(spark, "/root/testdata/sf0.1", replication=rep)
+    out = {}
+    # warm once per variant, then best-of-2
+    for variant in ("window", "dupset", "window", "dupset", "window", "dupset"):
+        files, kept, dups, sec = run(spark, corpus, variant)
+        out.setdefault(variant, []).append(round(sec, 2))
+        out[f"_{variant}_result"] = (files, kept, dups)
+    a, b = out["_window_result"], out["_dupset_result"]
+    assert a == b, f"variants disagree: {a} vs {b}"
+    print(json.dumps({
+        "replication": rep, "files": a[0], "dups_flagged": a[2],
+        "window_sec": out["window"], "dupset_sec": out["dupset"],
+        "window_best": min(out["window"][1:]),
+        "dupset_best": min(out["dupset"][1:]),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
