@@ -183,6 +183,16 @@ def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(media)
 
 
+def _mm_metadata_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media metadata validation (CA-011 for media, non-stub): planted
+    width/duration/mime violations in the synthetic table. Rows-only:
+    synthetic media has no SQL-side table."""
+    from data_quality_analysis_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=64)
+    return multimodal.metadata_violations(media)
+
+
 # S3/S8 escape hatch (/root/reference/Library/InconDateTime.R:27-46 raw
 # SQL; /root/reference/Tools/dqa/query/db.go:44-101 ad-hoc SQL over
 # results): ONE dialect-neutral string executed verbatim by BOTH engines.
@@ -246,6 +256,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_pct_of_total": relational.pct_of_total,
     "op_date_align": relational.date_align,
     "op_datetime_consistency": relational.datetime_consistency,
+    "op_future_dates": lambda spark, sf_dir: relational.future_dates(
+        spark, sf_dir, clock="2024-01-20"
+    ),
     "op_raw_sql": _op_raw_sql,
     # quality-filter extras
     "qf_boilerplate_topk": dedup.corpus_top_hashes,
@@ -268,6 +281,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal plumbing
     "mm_media_features": _mm_media_features,
     "mm_frame_sample": _mm_frame_sample,
+    "mm_metadata_check": _mm_metadata_check,
 }
 
 
@@ -495,6 +509,12 @@ def oracle_sql() -> dict[str, str]:
             FROM d
             WHERE year(ed) <> year(rd) AND month(ed) <> month(rd)
               AND day(ed) <> day(rd)
+        """,
+        "op_future_dates": """
+            SELECT event_id,
+                   strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date
+            FROM events
+            WHERE CAST(ts AS DATE) > DATE '2024-01-20'
         """,
         "qf_boilerplate_topk": oracles.boilerplate_topk_oracle(),
         "op_raw_sql": _RAW_SQL,

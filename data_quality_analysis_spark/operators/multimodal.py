@@ -54,7 +54,11 @@ FEATURE_SCHEMA = StructType(
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic fake media table: payload = sha256-stretched bytes of
     the media_id. Exercises binary-column partitioning and Arrow transfer
-    without real codecs."""
+    without real codecs. Plants metadata violations keyed on media_id
+    (the fixtures.py pattern) so :func:`metadata_violations` provably
+    fires: every 13th-mod-7 image/video has width 0, every 11th-mod-5
+    audio/video has duration 0, every 17th-mod-3 row carries a
+    kind-inconsistent mime."""
     rows = []
     kinds = ["image", "audio", "video"]
     mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
@@ -62,17 +66,17 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
         kind = kinds[i % 3]
         seed = hashlib.sha256(str(i).encode()).digest()
         payload = (seed * (8 + i % 5))[: 64 + (i * 17) % 512]
-        rows.append(
-            (
-                i,
-                kind,
-                mimes[kind],
-                64 + i % 128 if kind != "audio" else None,
-                48 + i % 96 if kind != "audio" else None,
-                1000 * (i % 30) if kind != "image" else None,
-                bytearray(payload),
-            )
-        )
+        width = 64 + i % 128 if kind != "audio" else None
+        height = 48 + i % 96 if kind != "audio" else None
+        duration = 1000 * (1 + i % 30) if kind != "image" else None
+        mime = mimes[kind]
+        if i % 13 == 7 and kind != "audio":
+            width = 0  # planted pixel-bounds violation
+        if i % 11 == 5 and kind != "image":
+            duration = 0  # planted duration violation
+        if i % 17 == 3:
+            mime = "application/octet-stream"  # planted mime mismatch
+        rows.append((i, kind, mime, width, height, duration, bytearray(payload)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -115,6 +119,55 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+MEDIA_BOUNDS = {
+    "min_px": 16,
+    "max_px": 8192,
+    "min_duration_ms": 1,
+    "max_duration_ms": 600_000,
+}
+
+
+def metadata_violations(df: DataFrame) -> DataFrame:
+    """CA-011 for media — implausible-value bounds on the TYPED metadata,
+    so multimodal has a real (non-stub) rule: pixel dimensions within
+    [min_px, max_px] for image/video, duration within bounds for
+    audio/video, mime prefix consistent with kind, non-empty payload
+    (reference analog /root/reference/Library/NumOutlier.R:16-38 — range
+    checks against a threshold catalog). All native Columns, no decode:
+    metadata validation must run BEFORE spending decode cycles at 100 TB.
+    Returns only violating rows with per-rule flags."""
+    b = MEDIA_BOUNDS
+    needs_px = F.col("kind").isin("image", "video")
+    bad_dim = lambda c: (  # noqa: E731
+        F.col(c).isNull()
+        | (F.col(c) < b["min_px"])
+        | (F.col(c) > b["max_px"])
+    )
+    viol_px = needs_px & (bad_dim("width") | bad_dim("height"))
+    needs_dur = F.col("kind").isin("audio", "video")
+    viol_dur = needs_dur & (
+        F.col("duration_ms").isNull()
+        | (F.col("duration_ms") < b["min_duration_ms"])
+        | (F.col("duration_ms") > b["max_duration_ms"])
+    )
+    viol_mime = ~F.col("mime").startswith(F.concat(F.col("kind"), F.lit("/")))
+    viol_payload = F.length("payload") == 0
+    out = df.select(
+        "media_id",
+        "kind",
+        viol_px.alias("viol_pixel_bounds"),
+        viol_dur.alias("viol_duration_bounds"),
+        viol_mime.alias("viol_mime_kind"),
+        viol_payload.alias("viol_empty_payload"),
+    )
+    return out.filter(
+        F.col("viol_pixel_bounds")
+        | F.col("viol_duration_bounds")
+        | F.col("viol_mime_kind")
+        | F.col("viol_empty_payload")
+    )
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -358,6 +358,27 @@ def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def future_dates(
+    spark: SparkSession, sf_dir: str, clock: str | None = None
+) -> DataFrame:
+    """CA-001 ImplFutureDate true analog
+    (/root/reference/Library/ImplFutureDate.R:42-58): rows whose date is
+    after "today". ``clock=None`` uses ``F.current_date()`` — the
+    reference's wall-clock semantics (F3) — while a frozen ``clock``
+    string makes the check deterministic against the DuckDB oracle (the
+    driver query passes '2024-01-20', inside the events range, so the
+    check provably fires)."""
+    e = load_table(spark, sf_dir, "events")
+    today = F.current_date() if clock is None else F.to_date(F.lit(clock))
+    return (
+        e.filter(F.to_date("ts") > today)
+        .select(
+            "event_id",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date"),
+        )
+    )
+
+
 def datetime_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AA-009 InconDateTime true analog
     (/root/reference/Library/InconDateTime.R:58-66): compare the date

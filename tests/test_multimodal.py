@@ -33,6 +33,24 @@ def test_strict_mode_raises(spark):
         multimodal.extract_features(media, strict=True).collect()
 
 
+def test_metadata_violations_flag_planted_rows(spark):
+    """CA-011-for-media: exactly the planted width-0 / duration-0 /
+    mime-mismatch rows are flagged (n=64: px plants at i%13==7 on
+    image/video, duration plants at i%11==5 on audio/video, mime plants
+    at i%17==3), and each row carries the right per-rule flag."""
+    media = multimodal.synthetic_media(spark, n=64)
+    got = {r["media_id"]: r for r in multimodal.metadata_violations(media).collect()}
+    px = {i for i in range(64) if i % 13 == 7 and i % 3 != 1}
+    dur = {i for i in range(64) if i % 11 == 5 and i % 3 != 0}
+    mime = {i for i in range(64) if i % 17 == 3}
+    assert set(got) == px | dur | mime
+    for i, r in got.items():
+        assert r["viol_pixel_bounds"] == (i in px)
+        assert r["viol_duration_bounds"] == (i in dur)
+        assert r["viol_mime_kind"] == (i in mime)
+        assert not r["viol_empty_payload"]
+
+
 def test_frame_sample_plan(spark):
     media = multimodal.synthetic_media(spark, n=30)
     plan = multimodal.frame_sample_plan(media, every_ms=1000).collect()

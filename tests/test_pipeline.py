@@ -162,3 +162,15 @@ def test_salting_bounds_hot_repo_partition(spark):
     assert unsalted > 0.30  # the hot repo really is hot
     assert salted < 0.15    # and salting breaks it up
     assert salted < unsalted / 2
+
+
+def test_future_dates_wall_clock_and_frozen(spark):
+    """CA-001/F3: clock=None uses F.current_date() (reference wall-clock
+    semantics — all testdata is in 2024, so nothing is 'future'); a
+    frozen clock inside the data range fires deterministically."""
+    from data_quality_analysis_spark.operators.relational import future_dates
+
+    assert future_dates(spark, SF_SMOKE).count() == 0
+    frozen = future_dates(spark, SF_SMOKE, clock="2024-01-20")
+    assert frozen.count() > 0
+    assert frozen.filter(F.col("event_date") <= "2024-01-20").count() == 0
