@@ -100,6 +100,66 @@ def run_stream_available_now(
     q.awaitTermination()
 
 
+# ------------------------------------------- watermark + windowed aggs --
+def windowed_keep_counts(
+    df: DataFrame,
+    ts_col: str = "ingest_ts",
+    window_dur: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed ingest metrics with late-data handling: per
+    event-time window, files seen + files kept. ``withWatermark`` bounds
+    the state — rows later than (max event time − watermark) are dropped
+    and finalized windows are evicted from the state store, so the
+    aggregation holds O(windows-in-flight) state over an unbounded
+    stream. With append output mode a window emits exactly once, when
+    the watermark passes its end: the streaming form of the reference's
+    calendar-bucket counts (TempOutlier's month buckets,
+    /root/reference/Library/TempOutlier.R:52-89), with the late-arrival
+    semantics batch never needed. Input: any streaming DataFrame with
+    (``ts_col`` timestamp, ``keep`` boolean)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_dur).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("files_seen"),
+            F.sum(F.col("keep").cast("long")).alias("files_kept"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "files_seen",
+            "files_kept",
+        )
+    )
+
+
+def run_windowed_counts_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    ts_col: str = "ingest_ts",
+    window_dur: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> None:
+    """Incremental windowed run (append mode): each invocation advances
+    the recovered watermark and appends exactly the newly-finalized
+    windows to the parquet sink."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    q = (
+        windowed_keep_counts(src, ts_col, window_dur, watermark)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ------------------------------------------------- stateful aggregation --
 REPO_STATS_SCHEMA = StructType(
     [

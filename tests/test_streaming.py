@@ -93,3 +93,66 @@ def test_stateful_keep_rate_accumulates_across_runs(spark, tmp_path):
     assert row["files_kept"] == kept
     assert row["keep_rate"] == round(kept / hot.count(), 4)
     corpus.unpersist()
+
+
+def test_windowed_counts_watermark_late_data(spark, tmp_path):
+    """Watermark semantics across incremental runs: a window emits once
+    (append mode) when the recovered watermark passes its end, and a row
+    later than the watermark is dropped — the finalized window's counts
+    exclude it."""
+    import os
+
+    from pyspark.sql.types import (
+        BooleanType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("repo", StringType()),
+        StructField("keep", BooleanType()),
+        StructField("ingest_ts", TimestampType()),
+    ])
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [(r, k, __import__("datetime").datetime.fromisoformat(t))
+             for r, k, t in rows],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # run 1: five on-time rows in [10:00, 10:10) + one row at 11:05 that
+    # will advance the watermark to 10:35 for the NEXT invocation
+    write_batch("b1", [
+        ("org/a", True, "2024-01-01T10:00:30"),
+        ("org/a", True, "2024-01-01T10:02:00"),
+        ("org/a", False, "2024-01-01T10:05:00"),
+        ("org/b", True, "2024-01-01T10:08:59"),
+        ("org/b", True, "2024-01-01T10:09:30"),
+        ("org/c", True, "2024-01-01T11:05:00"),
+    ])
+    streaming.run_windowed_counts_available_now(
+        spark, src, out, ckpt, schema)
+
+    # run 2: one LATE row inside the already-finalized window (beyond
+    # the 10:35 watermark -> dropped) + one fresh row at 12:00 that
+    # pushes the watermark past 11:10, finalizing the 11:00 window
+    write_batch("b2", [
+        ("org/a", True, "2024-01-01T10:05:30"),   # late beyond watermark
+        ("org/c", False, "2024-01-01T12:00:00"),
+    ])
+    streaming.run_windowed_counts_available_now(
+        spark, src, out, ckpt, schema)
+
+    got = {
+        str(r["window_start"]): (r["files_seen"], r["files_kept"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 10:00 window finalized WITHOUT the late row: 5 seen, 4 kept
+    assert got["2024-01-01 10:00:00"] == (5, 4)
+    # the 11:00 window finalized in run 2 with its single row
+    assert got["2024-01-01 11:00:00"] == (1, 1)
+    # the 12:00 window is still open (watermark hasn't passed its end)
+    assert "2024-01-01 12:00:00" not in got
