@@ -147,8 +147,10 @@ def _sim_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _qf_bucket_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-work-partition metrics (the lineage layer's commit payload).
-    Rows-only: bucket id uses xxhash64 (no DuckDB equivalent); the resume
-    semantics are pytest-verified in tests/test_lineage.py."""
+    Full oracle: bucket id is the md5-60-bit repo hash (DuckDB-
+    reproducible) and keep/pii recompute in SQL via the allsig CTE; the
+    resume semantics are additionally pytest-verified in
+    tests/test_lineage.py."""
     from data_quality_analysis_spark.lineage import with_bucket
     from data_quality_analysis_spark.pipeline import run_rules
 
@@ -309,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_rule_rates": oracles.rates_oracle(),
         "qf_offender_samples": oracles.offenders_oracle(),
         "qf_issue_lifecycle": oracles.lifecycle_oracle(),
+        "qf_bucket_metrics": oracles.bucket_metrics_oracle(),
         # relational operators
         "op_group_count": """
             SELECT l_returnflag, l_linestatus,
@@ -684,7 +687,133 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rank <= 5
         """,
-        # sim/LSH/minhash/simhash internals, bucket metrics, multimodal:
-        # non-SQL-expressible (xxhash64 / hyperplane / mapInPandas stages)
-        # → rows-only check + pytest oracles.
+        # IVF: seeds are md5-hash-ordered rows (similarity._seed_query),
+        # so the coarse quantizer, cell assignment, probe selection, and
+        # exact re-rank all recompute in SQL. Cell/probe tie-breaks
+        # mirror numpy argmax/argsort (first index wins).
+        "sim_ivf_topk": """
+            WITH hashed AS (
+              SELECT vec_id, embedding,
+                     ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                       ::BIGINT AS h
+              FROM embeddings),
+            seedrows AS (
+              SELECT vec_id, embedding FROM hashed
+              ORDER BY h, vec_id LIMIT 16),
+            seeds AS (
+              SELECT row_number() OVER (
+                       ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                 1, 15))::BIGINT, vec_id) - 1 AS cell,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                       sqrt(list_sum(list_transform(embedding,
+                         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+                       AS cvec
+              FROM seedrows),
+            celldots AS (
+              SELECT v.vec_id, s.cell,
+                     list_sum(list_transform(list_zip(v.embedding, s.cvec),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / sqrt(list_sum(list_transform(v.embedding,
+                         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS dot
+              FROM hashed v CROSS JOIN seeds s),
+            cells AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                         PARTITION BY vec_id ORDER BY dot DESC, cell ASC)
+                       AS rn
+                FROM celldots) WHERE rn = 1),
+            queries AS (
+              SELECT vec_id AS query_id, embedding AS qvec
+              FROM embeddings ORDER BY vec_id LIMIT 3),
+            probes AS (
+              SELECT query_id, cell FROM (
+                SELECT q.query_id, s.cell, row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_sum(list_transform(
+                           list_zip(q.qvec, s.cvec),
+                           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                           DESC, s.cell ASC) AS rn
+                FROM queries q CROSS JOIN seeds s) WHERE rn <= 4),
+            cand AS (
+              SELECT p.query_id, q.qvec, c.vec_id, e.embedding
+              FROM cells c
+              JOIN probes p ON c.cell = p.cell
+              JOIN queries q ON p.query_id = q.query_id
+              JOIN embeddings e ON c.vec_id = e.vec_id
+              WHERE c.vec_id <> p.query_id),
+            scored AS (
+              SELECT query_id, vec_id,
+                round(
+                  list_sum(list_transform(list_zip(embedding, qvec),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(qvec,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                  AS cosine
+              FROM cand)
+            SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 5
+        """,
+        # Multimodal: the synthetic media table's METADATA is a pure
+        # formula over media_id (operators/multimodal.synthetic_media),
+        # so the frame-sample plan and the metadata rule recompute fully
+        # in SQL — an independent re-derivation, no payload needed.
+        "mm_frame_sample": """
+            WITH m AS (SELECT unnest(range(0, 64)) AS i),
+            meta AS (
+              SELECT i,
+                CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                CASE WHEN i % 3 = 0 THEN NULL
+                     WHEN i % 11 = 5 THEN 0
+                     ELSE 1000 * (1 + i % 30) END AS duration_ms
+              FROM m)
+            SELECT i AS media_id,
+                   unnest(range(0, duration_ms, 1000)) AS frame_ts_ms
+            FROM meta WHERE kind = 'video' AND duration_ms > 0
+        """,
+        "mm_metadata_check": """
+            WITH m AS (SELECT unnest(range(0, 64)) AS i),
+            meta AS (
+              SELECT i,
+                CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                CASE WHEN i % 3 = 1 THEN NULL
+                     WHEN i % 13 = 7 THEN 0
+                     ELSE 64 + i % 128 END AS width,
+                CASE WHEN i % 3 = 1 THEN NULL
+                     ELSE 48 + i % 96 END AS height,
+                CASE WHEN i % 3 = 0 THEN NULL
+                     WHEN i % 11 = 5 THEN 0
+                     ELSE 1000 * (1 + i % 30) END AS duration_ms,
+                CASE WHEN i % 17 = 3 THEN 'application/octet-stream'
+                     WHEN i % 3 = 0 THEN 'image/png'
+                     WHEN i % 3 = 1 THEN 'audio/wav'
+                     ELSE 'video/mp4' END AS mime,
+                64 + (i * 17) % 512 AS n_payload_bytes
+              FROM m),
+            flags AS (
+              SELECT i AS media_id, kind,
+                kind IN ('image', 'video') AND (
+                  width IS NULL OR width < 16 OR width > 8192
+                  OR height IS NULL OR height < 16 OR height > 8192)
+                  AS viol_pixel_bounds,
+                kind IN ('audio', 'video') AND (
+                  duration_ms IS NULL OR duration_ms < 1
+                  OR duration_ms > 600000) AS viol_duration_bounds,
+                NOT starts_with(mime, kind || '/') AS viol_mime_kind,
+                n_payload_bytes = 0 AS viol_empty_payload
+              FROM meta)
+            SELECT * FROM flags
+            WHERE viol_pixel_bounds OR viol_duration_bounds
+               OR viol_mime_kind OR viol_empty_payload
+        """,
+        # sim/LSH/minhash internals, media feature extraction:
+        # non-SQL-expressible (hyperplane buckets with recall<1,
+        # mapInPandas over binary payloads) → rows-only + pytest oracles.
     }

@@ -45,10 +45,15 @@ BUCKET_COL = "bucket"
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
-    """Deterministic work-partition id: same repo → same bucket."""
-    return df.withColumn(
-        BUCKET_COL, F.pmod(F.xxhash64("repo"), F.lit(n_buckets)).cast("int")
-    )
+    """Deterministic work-partition id: same repo → same bucket.
+
+    Hash = top 60 bits of md5(repo) (JVM-side conv), not xxhash64: same
+    distribution, one short-string hash per row (noise next to content
+    processing), and — unlike xxhash64 — reproducible in DuckDB, which
+    makes the bucket layer's metrics fully oracle-checkable
+    (('0x' || substr(md5(repo), 1, 15))::BIGINT % n)."""
+    h = F.conv(F.substring(F.md5("repo"), 1, 15), 16, 10).cast("long")
+    return df.withColumn(BUCKET_COL, F.pmod(h, F.lit(n_buckets)).cast("int"))
 
 
 def _lineage_dir(out_dir: str) -> str:

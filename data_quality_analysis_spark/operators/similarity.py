@@ -221,10 +221,16 @@ def _seed_centroids(emb: DataFrame, k: int = N_CENTROIDS) -> np.ndarray:
 
 
 def _seed_query(emb: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
-    """The seed-selection plan, exposed for plan-shape tests."""
+    """The seed-selection plan, exposed for plan-shape tests. The
+    pseudo-random order is the top 60 bits of md5(vec_id) rather than
+    xxhash64 so the seed set — and therefore the ENTIRE IVF search — is
+    reproducible in DuckDB (full oracle instead of rows-only)."""
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
     return (
         emb.select("vec_id", "embedding")
-        .orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
+        .orderBy(h, F.asc("vec_id"))
         .limit(k)
     )
 

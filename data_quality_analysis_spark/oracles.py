@@ -446,6 +446,32 @@ DROPPING_FLAGS = [
 ]
 
 
+def bucket_metrics_oracle(n_buckets: int = 16) -> str:
+    """Per-work-bucket metrics (the lineage commit payload): bucket id =
+    md5-60-bit(repo) mod n (lineage.with_bucket), keep = the full verdict
+    over allsig's flags — the whole bucket layer recomputed in SQL."""
+    from data_quality_analysis_spark.rules.catalog import default_catalog
+
+    drop = " OR ".join(f"viol_{r.name}" for r in default_catalog().dropping())
+    return (
+        _allsig_sql()
+        + f""",
+bucketed AS (
+  SELECT *,
+         CAST(('0x' || substr(md5(repo), 1, 15))::BIGINT % {n_buckets}
+              AS INT) AS bucket,
+         NOT ({drop}) AS keep
+  FROM allsig)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(n_pii_spans) AS BIGINT) AS n_pii_spans,
+       CAST(count(DISTINCT repo) AS BIGINT) AS n_repos
+FROM bucketed GROUP BY bucket
+"""
+    )
+
+
 def verdict_oracle() -> str:
     """Full keep/drop incl. perplexity band + blocklist word."""
     drop = " OR ".join(DROPPING_FLAGS)
