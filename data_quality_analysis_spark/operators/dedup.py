@@ -125,19 +125,69 @@ def minhash_signatures(
     )
 
 
+def hot_minhash_buckets(
+    df: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1_000,
+) -> DataFrame:
+    """(band, bucket, n) for buckets the candidate cap drops — the "no
+    silent caps" companion to :func:`lsh_candidate_pairs`."""
+    banded = _banded_signatures(df, n_hashes, bands, shingle_n)
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     n_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket: int = 1_000,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, bucket-join.
 
     rows_per_band = n_hashes // bands. Two docs collide if any band's
     sub-signature hashes equal. The self-join is on (band, bucket) — at
-    scale each bucket is tiny, so this is a co-partitioned join, not an
-    all-pairs blowup.
+    scale each NEAR-dup bucket is tiny, so this is a co-partitioned
+    join, not an all-pairs blowup. The exception is EXACT-dup clusters:
+    10^6 identical documents share identical signatures, putting the
+    whole cluster in one bucket per band (~5·10^11 pairs). ``max_bucket``
+    drops such buckets from candidate generation — exact duplicates
+    belong to the hash-groupBy dedup (exact_duplicates/dedup_keep_first),
+    which handles them in linear time; run it first and feed LSH the
+    keepers. Dropped buckets are visible via :func:`hot_minhash_buckets`;
+    the bound is pytest-pinned.
     """
+    banded = _banded_signatures(df, n_hashes, bands, shingle_n)
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    banded = banded.join(
+        sizes.filter(F.col("_n") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _banded_signatures(
+    df: DataFrame, n_hashes: int, bands: int, shingle_n: int
+) -> DataFrame:
     rpb = n_hashes // bands
     sigs = minhash_signatures(df, n_hashes=n_hashes, shingle_n=shingle_n)
     banded = sigs.select(
@@ -159,20 +209,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    return banded
 
 
 def hot_shingles(

@@ -73,35 +73,53 @@ PLANES_PER_BAND = 4
 _PLANE_SEED = 42
 
 
-def _hyperplanes(dim: int) -> np.ndarray:
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     """Deterministic hyperplanes from a fixed-seed generator."""
     rng = np.random.default_rng(_PLANE_SEED)
-    return rng.standard_normal((N_BANDS * PLANES_PER_BAND, dim))
+    return rng.standard_normal((n_planes, dim))
 
 
-@pandas_udf(ArrayType(LongType()))
-def _lsh_band_buckets_udf(emb: pd.Series) -> pd.Series:
+def make_band_bucket_udf(bands: int, planes_per_band: int):
     """Banded random-hyperplane LSH (one matmul per Arrow batch): the
-    sign-bit matrix is split into N_BANDS groups of PLANES_PER_BAND bits;
-    element b of the result is band b's bucket id. Two vectors are
+    sign-bit matrix is split into ``bands`` groups of ``planes_per_band``
+    bits; element b of the result is band b's bucket id. Two vectors are
     candidates if ANY band matches — the OR-of-ANDs construction that
     gives banded LSH its recall (same shape as MinHash banding in
-    operators/dedup.lsh_candidate_pairs)."""
-    mat = np.stack(emb.to_numpy())  # (n, dim)
-    planes = _hyperplanes(mat.shape[1])
-    bits = (mat @ planes.T) > 0  # (n, bands*planes)
-    weights = (1 << np.arange(PLANES_PER_BAND)).astype(np.int64)
-    out = [
-        bits[:, b * PLANES_PER_BAND : (b + 1) * PLANES_PER_BAND] @ weights
-        for b in range(N_BANDS)
-    ]  # each (n,)
-    stacked = np.stack(out, axis=1)  # (n, bands)
-    return pd.Series(list(stacked), index=emb.index)
+    operators/dedup.lsh_candidate_pairs).
+
+    SIZING AT SCALE: each band has 2^planes_per_band buckets, so the
+    expected bucket holds ~n / 2^planes vectors and the per-bucket
+    self-join costs its square. Fixed defaults that are fine at 10^3
+    vectors are quadratic death at 10^8 — pick
+    ``planes_per_band ≈ log2(n / target_bucket_size)`` and add bands to
+    buy back recall (P[candidate] = 1 − (1 − (1 − θ/π)^planes)^bands).
+    Identical vectors collide in every band at ANY setting, so planted
+    exact-copy recall is always 1.0."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _udf(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())  # (n, dim)
+        planes = _hyperplanes(mat.shape[1], bands * planes_per_band)
+        bits = (mat @ planes.T) > 0  # (n, bands*planes)
+        weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+        out = [
+            bits[:, b * planes_per_band : (b + 1) * planes_per_band] @ weights
+            for b in range(bands)
+        ]  # each (n,)
+        stacked = np.stack(out, axis=1)  # (n, bands)
+        return pd.Series(list(stacked), index=emb.index)
+
+    return _udf
 
 
-def with_lsh_bands(df: DataFrame) -> DataFrame:
+def with_lsh_bands(
+    df: DataFrame,
+    bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> DataFrame:
     """(vec_id, band, bucket) — one row per band per vector."""
-    banded = df.withColumn("_buckets", _lsh_band_buckets_udf(F.col("embedding")))
+    udf = make_band_bucket_udf(bands, planes_per_band)
+    banded = df.withColumn("_buckets", udf(F.col("embedding")))
     return banded.select(
         "*", F.posexplode("_buckets").alias("band", "bucket")
     ).drop("_buckets")
@@ -153,10 +171,45 @@ def lsh_topk(
     )
 
 
-def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+def hot_embedding_buckets(
+    embeddings: DataFrame,
+    bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """(band, bucket, n) for buckets the near-dup cap drops — the "no
+    silent caps" companion to :func:`near_dup_pairs`, mirroring
+    dedup.hot_shingles."""
+    emb = with_lsh_bands(embeddings, bands, planes_per_band)
+    return (
+        emb.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+    )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+    max_bucket: int = 10_000,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded LSH: only vectors
-    sharing a band bucket are compared (no all-pairs)."""
-    emb = with_lsh_bands(embeddings)
+    sharing a band bucket are compared (no all-pairs).
+
+    ``max_bucket`` caps the per-bucket self-join (a bucket of m vectors
+    costs m²/2 comparisons): buckets above the cap — in practice giant
+    exact-duplicate clusters, which belong to EXACT dedup, or a sign the
+    banding needs more planes (make_band_bucket_udf sizing note) — are
+    dropped from candidate generation and reported by
+    :func:`hot_embedding_buckets`."""
+    emb = with_lsh_bands(embeddings, bands, planes_per_band)
+    sizes = emb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    emb = emb.join(
+        sizes.filter(F.col("_n") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
@@ -255,14 +308,21 @@ def ivf_topk(
     k: int = 5,
     n_queries: int = 3,
     nprobe: int = 4,
+    n_centroids: int = N_CENTROIDS,
 ) -> DataFrame:
-    """IVF ANN: coarse-quantize to N_CENTROIDS inverted lists, search only
-    the query's ``nprobe`` nearest cells, exact cosine re-rank. The scale
-    path alternative to banded LSH: at 100 TB the cell assignment is one
-    narrow UDF pass and the probe is a semi-join against nprobe/k of the
-    corpus."""
+    """IVF ANN: coarse-quantize to ``n_centroids`` inverted lists, search
+    only the query's ``nprobe`` nearest cells, exact cosine re-rank. The
+    scale path alternative to banded LSH: at 100 TB the cell assignment
+    is one narrow UDF pass and the probe is a semi-join against
+    nprobe/n_centroids of the corpus.
+
+    SIZING AT SCALE: cells hold ~n/n_centroids vectors, so a FIXED cell
+    count degenerates to a linear scan as n grows — use the standard
+    ``n_centroids ≈ sqrt(n)`` (10^8 vectors → ~10^4 cells of ~10^4), and
+    scale ``nprobe`` for the recall/latency trade. The default 16 is
+    sized for the sf0.01 driver check, not for production."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = _seed_centroids(emb)
+    centroids = _seed_centroids(emb, k=n_centroids)
     cell_udf = make_cell_udf(centroids)
     cells = emb.withColumn("cell", cell_udf(F.col("embedding")))
 

@@ -104,6 +104,29 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(0, 100, 1.0)]
 
 
+def test_lsh_bucket_cap_bounds_exact_dup_cluster(spark):
+    """10^6 identical docs share identical signatures — one bucket per
+    band holding the whole cluster. The cap drops those buckets (exact
+    dupes belong to the hash-groupBy dedup) while near-dup pairs among
+    DISTINCT contents keep flowing."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    clones = [(i, text) for i in range(30)]
+    df = spark.createDataFrame(clones, "doc_id long, text string")
+    assert dedup.lsh_candidate_pairs(df, max_bucket=10).count() == 0
+    hot = dedup.hot_minhash_buckets(df, max_bucket=10).collect()
+    assert len(hot) == 8 and all(r["n"] == 30 for r in hot)  # 1 per band
+    # uncapped, the same cluster generates all 435 pairs
+    assert dedup.lsh_candidate_pairs(df, max_bucket=10**9).count() == 435
+    # near dups among distinct docs still surface under the cap
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(
+            _toy_docs(spark), n_hashes=32, bands=16, max_bucket=10
+        ).collect()
+    }
+    assert (1, 3) in cands
+
+
 def test_dedup_keep_first_keeps_exactly_one_per_group(spark):
     out = dedup.dedup_keep_first(spark, SF_SMOKE)
     per_group = (

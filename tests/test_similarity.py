@@ -91,6 +91,25 @@ def test_embedding_near_dup_finds_planted_duplicates(spark):
         assert r["cosine"] >= 0.999
 
 
+def test_near_dup_bucket_cap_bounds_identical_cluster(spark):
+    """A giant cluster of identical vectors lands whole in one bucket
+    per band; the cap drops it from the quadratic self-join and
+    hot_embedding_buckets reports what was dropped."""
+    from pyspark.sql import functions as F
+
+    one = load_table(spark, SF_SMOKE, "embeddings").orderBy("vec_id").limit(1)
+    clones = one.crossJoin(spark.range(30)).select(
+        F.col("id").alias("vec_id"), "embedding"
+    )
+    assert similarity.near_dup_pairs(clones, max_bucket=10).count() == 0
+    hot = similarity.hot_embedding_buckets(clones, max_bucket=10).collect()
+    assert len(hot) == 4 and all(r["n"] == 30 for r in hot)  # 1 per band
+    assert (
+        similarity.near_dup_pairs(clones, max_bucket=10**6).count()
+        == 30 * 29 // 2
+    )
+
+
 def test_ivf_topk_subset_with_exact_scores(spark):
     got = similarity.ivf_topk(spark, SF_SMOKE, k=5, n_queries=3).collect()
     assert len(got) > 0
