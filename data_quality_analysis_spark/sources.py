@@ -67,6 +67,26 @@ def read_corpus(spark: SparkSession, spec: str) -> DataFrame:
     return spark.read.parquet(target)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    key: str = "repo",
+    n_buckets: int = 64,
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed (+ sorted) table for co-located joins: two
+    tables bucketed on the same key with the same bucket count join with
+    NO exchange on either side — at 100 TB this turns the verdict↔issues
+    and verdict↔previous-cycle joins from full-corpus shuffles into
+    per-bucket merges (the repartition/bucketing lever the task brief
+    names; plan-pinned by tests/test_plans.py::test_bucketed_join_no_exchange).
+    The reference's analog is its reliance on RDBMS-side indexes."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
 def write_corpus(df: DataFrame, spec: str, mode: str = "overwrite") -> None:
     scheme, target = _split(spec)
     w = df.write.mode(mode)

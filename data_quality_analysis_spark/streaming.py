@@ -247,6 +247,95 @@ def run_keep_rate_stream_available_now(
     q.awaitTermination()
 
 
+LANG_TOTALS_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("files_seen", LongType()),
+        StructField("files_kept", LongType()),
+    ]
+)
+
+
+def lang_keep_totals_stream(verdicts: DataFrame) -> DataFrame:
+    """Custom stateful operator on the MODERN API —
+    ``transformWithStateInPandas`` (Spark 4, RocksDB state store):
+    running per-declared-lang totals across micro-batches via an
+    explicit ValueState handle. Functionally the sibling of
+    :func:`repo_keep_rate_stream` (applyInPandasWithState), showing both
+    stateful surfaces; the new API adds named state variables, timers,
+    and TTL — this operator uses a single ValueState. Requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (transformWithState only runs on RocksDB)
+    AND a working ``google.protobuf`` (the TWS Python runner speaks
+    protobuf to the JVM; this container ships a broken protobuf, so the
+    accumulation test auto-skips there — the same honest-gating pattern
+    as multimodal.decode_image).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class LangTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "seen LONG, kept LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            seen = kept = 0
+            if self._totals.exists():
+                seen, kept = self._totals.get()
+            for pdf in rows:
+                seen += len(pdf)
+                kept += int(pdf["keep"].sum())
+            self._totals.update((seen, kept))
+            yield pd.DataFrame(
+                {
+                    "lang": [key[0]],
+                    "files_seen": [seen],
+                    "files_kept": [kept],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        verdicts.select("lang", "keep")
+        .groupBy("lang")
+        .transformWithStateInPandas(
+            LangTotals(), LANG_TOTALS_SCHEMA, "Update", "None"
+        )
+    )
+
+
+def run_lang_totals_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Incremental run of the transformWithState operator: unseen files →
+    filter → fold into per-lang running totals (RocksDB state recovered
+    from the checkpoint), append each batch's updates to a parquet log."""
+    totals = lang_keep_totals_stream(
+        filter_stream(stream_corpus(spark, input_dir))
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    q = (
+        totals.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def latest_keep_rates(spark: SparkSession, output_dir: str) -> DataFrame:
     """Current totals per repo = the row from the highest batch_id."""
     from pyspark.sql import Window

@@ -90,6 +90,42 @@ def test_ivf_seed_no_global_sort(spark):
     assert "Window" not in plan
 
 
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key & count must join with NO
+    exchange on either side (co-located merge) — the bucketing lever
+    that replaces full-corpus shuffles for repeated key-joins at scale."""
+    from pyspark.sql import functions as F
+
+    from data_quality_analysis_spark.sources import write_bucketed_table
+
+    corpus = corpus_view(spark, SF_SMOKE)
+    left = corpus.groupBy("repo").agg(F.count(F.lit(1)).alias("n_files"))
+    right = corpus.groupBy("repo").agg(
+        F.sum(F.length("content")).alias("n_bytes")
+    )
+    write_bucketed_table(left, "t_left", n_buckets=8,
+                         path=str(tmp_path / "l"))
+    write_bucketed_table(right, "t_right", n_buckets=8,
+                         path=str(tmp_path / "r"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would broadcast; the bucketing win we're
+        # pinning is the SORT-MERGE path with no exchange (what a 100 TB
+        # fact↔fact join uses)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_left").join(spark.table("t_right"), "repo")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == left.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_left")
+        spark.sql("DROP TABLE IF EXISTS t_right")
+
+
 def test_dim_join_broadcasts(spark):
     import __spark_entry__ as m
 

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_quality_analysis_spark import streaming
@@ -156,3 +158,59 @@ def test_windowed_counts_watermark_late_data(spark, tmp_path):
     assert got["2024-01-01 11:00:00"] == (1, 1)
     # the 12:00 window is still open (watermark hasn't passed its end)
     assert "2024-01-01 12:00:00" not in got
+
+
+def _protobuf_ok() -> bool:
+    """transformWithState's Python runner needs a working protobuf; this
+    container ships a broken one (ImportError on google.protobuf
+    .descriptor) and nothing may be pip-installed, so the TWS test
+    auto-skips — same honest gating as the multimodal decode stub."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _protobuf_ok(), reason="google.protobuf broken in container (TWS runner requires it)")
+def test_transform_with_state_lang_totals_accumulates(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 API, RocksDB state store):
+    per-lang totals accumulate across two availableNow invocations and
+    agree with the batch pipeline."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "totals")
+    ckpt = str(tmp_path / "ckpt")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        corpus = corpus_view(spark, SF_SMOKE).cache()
+        en = corpus.filter(F.col("lang") == "en")
+        half1 = en.limit(en.count() // 2)
+        half2 = en.subtract(half1)
+
+        half1.write.mode("append").parquet(src)
+        streaming.run_lang_totals_available_now(spark, src, out, ckpt)
+        first = {r["lang"]: r for r in spark.read.parquet(out).collect()
+                 if r["lang"] == "en"}
+        assert first["en"]["files_seen"] == half1.count()
+
+        half2.write.mode("append").parquet(src)
+        streaming.run_lang_totals_available_now(spark, src, out, ckpt)
+        log = spark.read.parquet(out)
+        from pyspark.sql import Window
+        w = Window.partitionBy("lang").orderBy(F.desc("batch_id"))
+        latest = {
+            r["lang"]: r
+            for r in log.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).collect()
+        }
+        assert latest["en"]["files_seen"] == en.count()  # accumulated
+        batch = run_rules(en, streaming.streaming_catalog())
+        assert latest["en"]["files_kept"] == batch.filter(F.col("keep")).count()
+        corpus.unpersist()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
