@@ -226,6 +226,21 @@ def _op_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RAW_SQL)
 
 
+# Ad-hoc SQL over the composed 16-column report (the Go CLI `query`
+# analog, Tools/dqa/query/db.go:44-101): ONE dialect-neutral string.
+_REPORT_SQL = """
+    SELECT rank, status, CAST(count(*) AS BIGINT) AS n_issues
+    FROM report
+    GROUP BY rank, status
+"""
+
+
+def _qf_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_analysis_spark.rules.report import report_query
+
+    return report_query(spark, _qf_issue_lifecycle(spark, sf_dir), _REPORT_SQL)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus / quality-filter family
     "qf_corpus": _qf_corpus,
@@ -236,6 +251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qf_rule_rates": _qf_rule_rates,
     "qf_offender_samples": _qf_offender_samples,
     "qf_issue_lifecycle": _qf_issue_lifecycle,
+    "qf_report_query": _qf_report_query,
     # relational operator inventory (SURVEY.md §2)
     "op_group_count": relational.group_count,
     "op_top_k": relational.top_k,
@@ -312,6 +328,9 @@ def oracle_sql() -> dict[str, str]:
         "qf_offender_samples": oracles.offenders_oracle(),
         "qf_issue_lifecycle": oracles.lifecycle_oracle(),
         "qf_bucket_metrics": oracles.bucket_metrics_oracle(),
+        "qf_report_query": (
+            f"WITH report AS ({oracles.lifecycle_oracle()})\n{_REPORT_SQL}"
+        ),
         # relational operators
         "op_group_count": """
             SELECT l_returnflag, l_linestatus,

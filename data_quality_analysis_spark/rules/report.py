@@ -20,6 +20,16 @@ from data_quality_analysis_spark import __version__ as DQA_VERSION
 from data_quality_analysis_spark.rules.ranking import RankingRule, apply_ranking
 from data_quality_analysis_spark.rules.resolution import reconcile
 
+def report_query(spark, report: DataFrame, sql: str, view: str = "report"):
+    """Ad-hoc SQL over the composed results — the Go CLI's ``query``
+    subcommand loads the secondary-report CSVs into in-memory SQLite and
+    runs user SQL (/root/reference/Tools/dqa/query/db.go:44-101); here
+    the report is already a DataFrame, so the analog is one temp view +
+    ``spark.sql`` (S8), distributed instead of driver-side."""
+    report.createOrReplaceTempView(view)
+    return spark.sql(sql)
+
+
 MODEL = "quality_filter"
 MODEL_VERSION = "1.0"
 METHOD = "automated"
