@@ -1,0 +1,60 @@
+"""Driver-contract robustness: the flows the real driver exercises
+beyond single-query correctness — interleaved scale factors (temp-view
+re-registration must not invalidate earlier DataFrames), re-run
+idempotence, and clean failure on a bad sf_dir."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.utils import AnalysisException
+
+import __spark_entry__ as entrymod
+from data_quality_analysis_spark.corpus import corpus_view
+
+SF_A = "/root/testdata/sf0.001"
+SF_B = "/root/testdata/sf0.1"  # documents: 500 rows at sf0.001, 5000 at sf0.1
+
+
+def test_interleaved_sf_dirs_keep_their_own_data(spark):
+    """corpus_view re-registers the `documents`/`corpus` temp views per
+    call; a DataFrame built against an earlier sf_dir is bound to its
+    FILES, not the view, and must still read its own data after the
+    views move on."""
+    a = corpus_view(spark, SF_A)
+    n_a = a.count()
+    b = corpus_view(spark, SF_B)
+    n_b = b.count()
+    assert n_b > n_a  # different scales really loaded
+    assert a.count() == n_a  # earlier frame unaffected by re-registration
+
+    q = entrymod.queries()["qf_verdict"]
+    va = q(spark, SF_A).count()
+    vb = q(spark, SF_B).count()
+    assert (va, vb) == (n_a, n_b)
+    assert q(spark, SF_A).count() == va  # back to A after B
+
+
+def test_rerun_same_query_is_identical(spark):
+    q = entrymod.queries()["qf_stage_a"]
+    r1 = sorted(map(tuple, q(spark, SF_A).collect()))
+    r2 = sorted(map(tuple, q(spark, SF_A).collect()))
+    assert r1 == r2
+
+
+def test_bad_sf_dir_fails_cleanly(spark):
+    q = entrymod.queries()["op_group_count"]
+    with pytest.raises(AnalysisException):
+        q(spark, "/root/testdata/sf_does_not_exist").count()
+
+
+def test_queries_and_oracles_are_consistent_sets(spark):
+    """Every oracle key must have a query; no dangling entries either way
+    that would make the driver record spurious errors."""
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(queries)
+    rows_only = set(queries) - set(oracles)
+    # the genuinely non-SQL remainder, each pytest-oracled elsewhere
+    assert rows_only == {
+        "dedup_minhash_lsh", "sim_lsh_topk", "mm_media_features",
+    }
