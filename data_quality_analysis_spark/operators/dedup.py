@@ -164,10 +164,16 @@ def lsh_candidate_pairs(
     the bound is pytest-pinned.
     """
     banded = _banded_signatures(df, n_hashes, bands, shingle_n)
-    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-    banded = banded.join(
-        sizes.filter(F.col("_n") <= max_bucket).select("band", "bucket"),
-        ["band", "bucket"],
+    # bucket size via a window over the SAME (band, bucket) partitioning
+    # the self-join shuffles on — the filter rides the join's exchange
+    # (both sides share one ReusedExchange); an agg+join formulation
+    # instead recomputes the whole signature subtree per consumer
+    # (measured 1.4 s → 5.4 s at sf0.1).
+    w = Window.partitionBy("band", "bucket")
+    banded = (
+        banded.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -205,10 +205,13 @@ def near_dup_pairs(
     dropped from candidate generation and reported by
     :func:`hot_embedding_buckets`."""
     emb = with_lsh_bands(embeddings, bands, planes_per_band)
-    sizes = emb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-    emb = emb.join(
-        sizes.filter(F.col("_n") <= max_bucket).select("band", "bucket"),
-        ["band", "bucket"],
+    # window over the join's own (band, bucket) partitioning — see
+    # dedup.lsh_candidate_pairs for why not an agg+join
+    wsz = Window.partitionBy("band", "bucket")
+    emb = (
+        emb.withColumn("_n", F.count(F.lit(1)).over(wsz))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
     )
     a = emb.select(
         F.col("vec_id").alias("id_a"),
