@@ -226,6 +226,30 @@ def _op_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RAW_SQL)
 
 
+# SimHash oracle: md5-60-bit token hash + sign-sum, all DuckDB bit ops
+# (shared by the fingerprint and Hamming-pairs oracles).
+_SIMHASH_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(trim(
+               regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))),
+               ' '), x -> x <> '')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+          FROM toks),
+    bitpos AS (SELECT unnest(generate_series(0, 59)) AS i),
+    bits AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN bitpos GROUP BY doc_id, i)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i)
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+"""
+
+
 # Ad-hoc SQL over the composed 16-column report (the Go CLI `query`
 # analog, Tools/dqa/query/db.go:44-101): ONE dialect-neutral string.
 _REPORT_SQL = """
@@ -292,6 +316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
     "dedup_ngram_jaccard": dedup.ngram_jaccard,
     "dedup_simhash": dedup.simhash_fingerprints,
+    "dedup_simhash_pairs": dedup.simhash_near_pairs,
     "sim_brute_topk": _sim_brute,
     "sim_lsh_topk": similarity.lsh_topk,
     "sim_embedding_near_dup": similarity.embedding_near_dup,
@@ -664,25 +689,14 @@ def oracle_sql() -> dict[str, str]:
                      AS keep
             FROM hashed
         """,
-        "dedup_simhash": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(list_filter(string_split(lower(trim(
-                       regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))),
-                       ' '), x -> x <> '')) AS tok
-              FROM documents),
-            h AS (SELECT doc_id,
-                         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-                  FROM toks),
-            bitpos AS (SELECT unnest(generate_series(0, 59)) AS i),
-            bits AS (
-              SELECT doc_id, i,
-                     sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
-              FROM h CROSS JOIN bitpos GROUP BY doc_id, i)
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i)
-                            ELSE 0 END) AS BIGINT) AS simhash
-            FROM bits GROUP BY doc_id
+        "dedup_simhash": _SIMHASH_SQL,
+        "dedup_simhash_pairs": f"""
+            WITH sims AS ({_SIMHASH_SQL})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIT))
+                        AS INT) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) <= 3
         """,
         "sim_brute_topk": """
             WITH q AS (

@@ -328,6 +328,67 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return bit_sums.select("doc_id", fp.alias("simhash"))
 
 
+SIMHASH_BANDS = 4  # 15 bits per band over the 60-bit fingerprint
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash banding: the 60-bit fingerprint
+    splits into 4 bands of 15 bits; docs sharing ANY band bucket are
+    candidates, verified by exact Hamming distance (bit_count of xor —
+    JVM-side). For ``max_hamming ≤ 3`` recall is EXACTLY 1.0 by
+    pigeonhole: ≤3 flipped bits cannot touch all 4 bands, so some band
+    matches — the banded plan is value-equal to brute-force all-pairs
+    (which is what the DuckDB oracle computes) while generating
+    candidates per bucket, never all-pairs."""
+    fp = simhash(df, text_col)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "band",
+        "bucket",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "band",
+        "bucket",
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ----------------------------------------------------- driver wrappers --
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs over documents (rows-only check:
@@ -344,8 +405,15 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only: xxhash64-based)."""
+    """60-bit SimHash per document (full oracle: md5-derived token hash
+    reproduced in DuckDB bit ops)."""
     return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, Hamming ≤ 3 (full oracle: banding has
+    recall exactly 1.0 at this radius, so brute-force SQL matches)."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def corpus_top_hashes(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:

@@ -104,6 +104,29 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(0, 100, 1.0)]
 
 
+def test_simhash_pairs_banding_recall_is_exact(spark):
+    """At Hamming ≤ 3 over 4 bands of 15 bits, ≤3 flipped bits cannot
+    touch all bands (pigeonhole) → the banded plan must equal brute-force
+    all-pairs exactly. Also: exact dup docs pair at hamming 0."""
+    docs = spark.createDataFrame(
+        [(i, f"shared words body {'x'*(i%3)} tail{i%7}") for i in range(40)]
+        + [(100, "shared words body tail0"), (101, "shared words body tail0")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    brute = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in fps for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_pairs(docs).collect()
+    }
+    assert got == brute
+    assert (100, 101, 0) in got
+
+
 def test_lsh_bucket_cap_bounds_exact_dup_cluster(spark):
     """10^6 identical docs share identical signatures — one bucket per
     band holding the whole cluster. The cap drops those buckets (exact
