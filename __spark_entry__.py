@@ -302,6 +302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         spark, sf_dir, clock="2024-01-20"
     ),
     "op_raw_sql": _op_raw_sql,
+    "op_json_extract": relational.json_extract_stats,
     # quality-filter extras
     "qf_boilerplate_topk": dedup.corpus_top_hashes,
     "qf_bucket_metrics": _qf_bucket_metrics,
@@ -565,6 +566,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "qf_boilerplate_topk": oracles.boilerplate_topk_oracle(),
         "op_raw_sql": _RAW_SQL,
+        "op_json_extract": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(k), 2) AS avg_k,
+                   max(k) AS max_k,
+                   CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_high
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS INT) AS k
+                  FROM events)
+            WHERE k IS NOT NULL
+            GROUP BY event_type
+        """,
         # text / dedup
         "text_token_stats": rf"""
             SELECT doc_id,

