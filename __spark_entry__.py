@@ -704,14 +704,10 @@ def oracle_sql() -> dict[str, str]:
             FROM hashed
         """,
         "dedup_simhash": _SIMHASH_SQL,
-        "dedup_simhash_pairs": f"""
-            WITH sims AS ({_SIMHASH_SQL})
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIT))
-                        AS INT) AS hamming
-            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-            WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) <= 3
-        """,
+        "dedup_simhash_pairs": oracles.simhash_pairs_oracle().format(
+            simhash_sql=_SIMHASH_SQL
+        ),
+        "dedup_minhash_lsh": oracles.minhash_lsh_oracle(),
         "sim_brute_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS query_vec

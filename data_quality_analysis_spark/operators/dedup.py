@@ -2,11 +2,14 @@
 
 Exact dedup is a hash groupBy (one shuffle). Near-dup families:
 
-- **MinHash + LSH**: shingle → per-seed min of seeded xxhash64 → band
-  buckets → self-join on (band, bucket) → candidate pairs. Everything is
-  native Columns (xxhash64 is JVM-side); no Python in the hot path. At
-  100 TB the band-bucket self-join is the scalable path: candidates are
-  generated per-bucket, never all-pairs.
+- **MinHash + LSH**: shingle → ONE md5-derived 60-bit base hash per
+  shingle → 32 universal hashes ``(a_i·h + b_i) mod p`` (p = 2^31−1) →
+  per-seed minima → band buckets → per-bucket pair expansion. Everything
+  is native Columns (md5/conv/int ops are JVM-side); no Python in the
+  hot path, and — unlike the previous seeded-xxhash64 scheme — every
+  step reproduces exactly in DuckDB, so the driver check is a full
+  value-hash oracle. At 100 TB the per-bucket expansion is the scalable
+  path: candidates are generated per-bucket, never all-pairs.
 - **SimHash**: 64-bit sign-sum over token hashes via explode + groupBy —
   two shuffles, both combinable map-side.
 - **n-gram Jaccard**: exact verification for candidate pairs (explode
@@ -103,22 +106,49 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     )
 
 
+MINHASH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
+
+
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i, b_i), a_i ∈ [1, p),
+    b_i ∈ [0, p), derived from md5 of the seed index — no RNG-library
+    dependence, identical in any process, and embeddable as SQL literals
+    (the DuckDB oracle re-derives the exact same family)."""
+    import hashlib
+
+    def _h(tag: str, lo: int) -> int:
+        digest = hashlib.md5(tag.encode()).hexdigest()
+        return lo + int(digest[:12], 16) % (MINHASH_P - lo)
+
+    return [(_h(f"mh-a-{i}", 1), _h(f"mh-b-{i}", 0)) for i in range(n_hashes)]
+
+
 def minhash_signatures(
     df: DataFrame, n_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
-    """Per-seed min of seeded xxhash64 over the shingle set → signature
-    array<long> of length n_hashes.
+    """Per-seed minima over the shingle set → signature array<long>.
 
+    Each shingle is hashed ONCE (top 60 bits of md5 via conv, mod p);
+    the n_hashes per-seed values are universal hashes
+    ``(a_i·h + b_i) mod p`` — integer mul/add/mod, far cheaper than
+    n_hashes string hashes, and with p = 2^31−1 the product stays under
+    2^62 so the arithmetic never overflows a long in EITHER engine.
     One codegen'd projection computes all seeds per shingle ROW; one
     hash aggregate takes the per-seed minima (partial aggregation
     map-side — the shuffle carries 32 longs per doc, not the shingles).
     """
     sh = shingle_rows(df, n=shingle_n, distinct=False)
+    h = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
+    base = sh.select("doc_id", h.alias("_hm"))
+    params = minhash_params(n_hashes)
     seed_cols = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}")
-        for i in range(n_hashes)
+        F.min((F.col("_hm") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"_h{i}")
+        for i, (a, b) in enumerate(params)
     ]
-    agg = sh.groupBy("doc_id").agg(*seed_cols)
+    agg = base.groupBy("doc_id").agg(*seed_cols)
     return agg.select(
         "doc_id",
         F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("signature"),
@@ -149,44 +179,41 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     max_bucket: int = 1_000,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the signature, bucket-join.
+    """MinHash-LSH candidate pairs: band the signature, expand per bucket.
 
     rows_per_band = n_hashes // bands. Two docs collide if any band's
-    sub-signature hashes equal. The self-join is on (band, bucket) — at
-    scale each NEAR-dup bucket is tiny, so this is a co-partitioned
-    join, not an all-pairs blowup. The exception is EXACT-dup clusters:
-    10^6 identical documents share identical signatures, putting the
-    whole cluster in one bucket per band (~5·10^11 pairs). ``max_bucket``
-    drops such buckets from candidate generation — exact duplicates
-    belong to the hash-groupBy dedup (exact_duplicates/dedup_keep_first),
-    which handles them in linear time; run it first and feed LSH the
-    keepers. Dropped buckets are visible via :func:`hot_minhash_buckets`;
-    the bound is pytest-pinned.
+    sub-signature hashes equal. Pairs are generated by grouping on
+    (band, bucket) and expanding each bucket's member list — NOT by a
+    self-join: Spark never shares work between the two inputs of a
+    self-join (no cross-side ReusedExchange even for identical subtrees),
+    so the join formulation evaluated the whole shingle→signature
+    pipeline twice (driver-measured 2.56 s → 6.47 s once the cap window
+    was stacked on top). This formulation evaluates it ONCE: a single
+    (band, bucket) hash aggregate collects each bucket's ids, the cap is
+    a size filter on the result, and pairs explode per bucket.
+
+    ``max_bucket`` exists because EXACT-dup clusters break the "near-dup
+    buckets are tiny" property: 10^6 identical documents share identical
+    signatures, landing whole in one bucket per band (~5·10^11 pairs).
+    Such buckets are dropped — exact duplicates belong to the
+    hash-groupBy dedup (exact_duplicates/dedup_keep_first), which handles
+    them in linear time; run it first and feed LSH the keepers. Dropped
+    buckets are visible via :func:`hot_minhash_buckets`; the bound is
+    pytest-pinned.
     """
     banded = _banded_signatures(df, n_hashes, bands, shingle_n)
-    # bucket size via a window over the SAME (band, bucket) partitioning
-    # the self-join shuffles on — the filter rides the join's exchange
-    # (both sides share one ReusedExchange); an agg+join formulation
-    # instead recomputes the whole signature subtree per consumer
-    # (measured 1.4 s → 5.4 s at sf0.1).
-    w = Window.partitionBy("band", "bucket")
-    banded = (
-        banded.withColumn("_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("_n") <= max_bucket)
-        .drop("_n")
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # One hash aggregate (partial map-side list merge), then the cap as a
+    # size filter — NOT a count-window: WindowExec sort-groups the rows
+    # and measured ~5× slower than the aggregate at sf0.1. Aggregation
+    # buffer memory is O(bucket size) ids (8 B each) even for an over-cap
+    # bucket — linear, vs the O(n²) join rows the cap exists to prevent.
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.collect_list("doc_id").alias("_ids")
+    ).filter(F.size("_ids").between(2, max_bucket))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode("_ids").alias("doc_a"), "_ids")
+        .select("doc_a", F.explode("_ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 
@@ -194,6 +221,10 @@ def lsh_candidate_pairs(
 def _banded_signatures(
     df: DataFrame, n_hashes: int, bands: int, shingle_n: int
 ) -> DataFrame:
+    """(doc_id, band, bucket): each band's bucket is the md5-60-bit hash
+    of the comma-joined band slice — one md5 per (doc, band), cheap, and
+    exactly reproducible in DuckDB (unlike xxhash64), which is what makes
+    ``dedup_minhash_lsh`` a full value-hash oracle row."""
     rpb = n_hashes // bands
     sigs = minhash_signatures(df, n_hashes=n_hashes, shingle_n=shingle_n)
     banded = sigs.select(
@@ -203,12 +234,27 @@ def _banded_signatures(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("signature", b * rpb + i + 1)
-                                for i in range(rpb)
-                            ]
-                        ).alias("bucket"),
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        ",",
+                                        *[
+                                            F.element_at(
+                                                "signature", b * rpb + i + 1
+                                            )
+                                            for i in range(rpb)
+                                        ],
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("long")
+                        .alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -331,19 +377,11 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 SIMHASH_BANDS = 4  # 15 bits per band over the 60-bit fingerprint
 
 
-def simhash_pairs(
-    df: DataFrame, text_col: str = "text", max_hamming: int = 3
-) -> DataFrame:
-    """Near-duplicate pairs by SimHash banding: the 60-bit fingerprint
-    splits into 4 bands of 15 bits; docs sharing ANY band bucket are
-    candidates, verified by exact Hamming distance (bit_count of xor —
-    JVM-side). For ``max_hamming ≤ 3`` recall is EXACTLY 1.0 by
-    pigeonhole: ≤3 flipped bits cannot touch all 4 bands, so some band
-    matches — the banded plan is value-equal to brute-force all-pairs
-    (which is what the DuckDB oracle computes) while generating
-    candidates per bucket, never all-pairs."""
+def _banded_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash, band, bucket): the 60-bit fingerprint splits
+    into 4 bands of 15 bits; the band slice itself is the bucket key."""
     fp = simhash(df, text_col)
-    banded = fp.select(
+    return fp.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -360,40 +398,74 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sh_a"),
-        "band",
-        "bucket",
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sh_b"),
-        "band",
-        "bucket",
-    )
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+
+
+def hot_simhash_buckets(
+    df: DataFrame, text_col: str = "text", max_bucket: int = 1_000
+) -> DataFrame:
+    """(band, bucket, n) for buckets the :func:`simhash_pairs` cap drops
+    — the "no silent caps" companion, like :func:`hot_minhash_buckets`
+    and similarity.hot_embedding_buckets."""
+    banded = _banded_simhash(df, text_col)
     return (
-        pairs.select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 1_000,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash banding: docs sharing ANY band
+    bucket are candidates, verified by exact Hamming distance (bit_count
+    of xor — JVM-side). For ``max_hamming ≤ 3`` recall is EXACTLY 1.0 by
+    pigeonhole: ≤3 flipped bits cannot touch all 4 bands, so some band
+    matches — the banded plan is value-equal to brute-force all-pairs
+    over the capped survivors while generating candidates per bucket,
+    never all-pairs.
+
+    ``max_bucket`` drops over-cap (band, bucket) groups before pair
+    expansion: a 10^6-document exact-dup cluster shares one fingerprint,
+    lands whole in a bucket in all 4 bands, and would otherwise emit
+    ~2·10^12 join rows — exact duplicates belong to the hash-groupBy
+    dedup, which is linear. Dropped buckets are visible via
+    :func:`hot_simhash_buckets`; the DuckDB oracle mirrors the cap.
+
+    Like :func:`lsh_candidate_pairs`, pairs come from ONE evaluation of
+    the fingerprint subtree (one (band, bucket) hash aggregate, size
+    filter, per-bucket expansion) — a self-join would compute the
+    60-bit-sum aggregation twice."""
+    banded = _banded_simhash(df, text_col)
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.collect_list(F.struct("doc_id", "simhash")).alias("_m")
+    ).filter(F.size("_m").between(2, max_bucket))
+    pairs = (
+        buckets.select(F.explode("_m").alias("a"), "_m")
+        .select("a", F.explode("_m").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
             .cast("int")
             .alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
+    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 # ----------------------------------------------------- driver wrappers --
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs over documents (rows-only check:
-    xxhash64 has no DuckDB equivalent; recall vs exact Jaccard is
-    pytest-verified in tests/test_dedup.py)."""
+    """MinHash+LSH candidate pairs over documents. Full oracle: every
+    stage (md5-60-bit shingle hash, universal-hash minima, md5 band
+    buckets, cap, pair expansion) reproduces exactly in DuckDB
+    (oracles.minhash_lsh_oracle); recall vs exact Jaccard is additionally
+    pytest-verified in tests/test_dedup.py."""
     return lsh_candidate_pairs(load_table(spark, sf_dir, "documents")).orderBy(
         "doc_a", "doc_b"
     )

@@ -492,3 +492,98 @@ FROM flags f JOIN perp p
   ON f.repo = p.repo AND f.path = p.path AND f.commit = p.commit
 """
     )
+
+
+def minhash_lsh_oracle(
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1_000,
+) -> str:
+    """Full SQL re-derivation of dedup.lsh_candidate_pairs: the same
+    md5-60-bit base hash, the same (a_i, b_i) universal-hash family
+    (minhash_params is shared, so the literals cannot drift), the same
+    md5 band buckets, the same >=2/<=max_bucket cap, the same pair
+    expansion. Every integer op is exact in both engines (products stay
+    under 2^62)."""
+    from data_quality_analysis_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_params,
+    )
+
+    params = minhash_params(n_hashes)
+    rpb = n_hashes // bands
+    seed_mins = ",\n         ".join(
+        f"min((hm * {a} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, ('0x' || substr(md5(concat_ws(',', {cols})), 1, 15))::BIGINT AS bucket FROM sig".format(
+            b=b,
+            cols=", ".join(f"h{b * rpb + i}" for i in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    hi = shingle_n - 1
+    return rf"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(
+           coalesce(text, ''), '\s+', ' ', 'g'))), ' '), x -> x <> '') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+{hi}], ' ')
+                 FOR i IN generate_series(1, len(toks) - {hi})]) AS shingle
+  FROM norm WHERE len(toks) >= {shingle_n}),
+h AS (SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS hm
+      FROM sh),
+sig AS (
+  SELECT doc_id,
+         {seed_mins}
+  FROM h GROUP BY doc_id),
+banded AS (
+  {band_selects}),
+counted AS (
+  SELECT doc_id, band, bucket,
+         count(*) OVER (PARTITION BY band, bucket) AS n
+  FROM banded),
+kept AS (SELECT doc_id, band, bucket FROM counted
+         WHERE n >= 2 AND n <= {max_bucket})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM kept a JOIN kept b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def simhash_pairs_oracle(max_hamming: int = 3, max_bucket: int = 1_000) -> str:
+    """dedup.simhash_pairs with the bucket cap mirrored: band the 60-bit
+    fingerprint into 4x15 bits, drop over-cap (band, bucket) groups,
+    pair within surviving buckets, verify exact Hamming <= max_hamming.
+    (Pre-cap this was brute-force all-pairs; the cap must be mirrored or
+    a planted over-cap cluster would diverge the two engines.)"""
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 15}) & 32767 AS bucket FROM sims"
+        for b in range(4)
+    )
+    return f"""
+WITH sims AS ({{simhash_sql}}),
+banded AS (
+  {band_selects}),
+counted AS (
+  SELECT doc_id, simhash, band, bucket,
+         count(*) OVER (PARTITION BY band, bucket) AS n
+  FROM banded),
+kept AS (SELECT doc_id, simhash, band, bucket FROM counted
+         WHERE n >= 2 AND n <= {max_bucket}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(CAST(xor(sh_a, sh_b) AS BIT)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(CAST(xor(sh_a, sh_b) AS BIT)) <= {max_hamming}
+"""

@@ -63,6 +63,16 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
+        # Always use the serialized sort shuffle writer. The bypass-merge
+        # writer (default for <=200 reduce partitions) creates one FILE
+        # per reduce partition per map task — 128 tasks × 128 partitions
+        # = 16k file creates per exchange, which dominates wall time on
+        # this VM's filesystem (measured 4.0 s → 1.1 s on the MinHash
+        # band aggregate; shuffleWriteTime was 46 s cumulative). The sort
+        # writer emits ONE file + index per map task — also the right
+        # shape at cluster scale, where shuffle.partitions >> 200 would
+        # disable bypass anyway.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "0")
         # Input-split sizing: at 100 TB this bounds task size; harmless locally.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

@@ -150,6 +150,33 @@ def test_lsh_bucket_cap_bounds_exact_dup_cluster(spark):
     assert (1, 3) in cands
 
 
+def test_simhash_pairs_bucket_cap_bounds_exact_dup_cluster(spark):
+    """An exact-dup cluster shares ONE fingerprint → lands whole in a
+    bucket in all 4 bands. The cap drops those buckets (pair count 0,
+    visible via hot_simhash_buckets) while genuinely-near pairs among
+    distinct contents keep flowing; uncapped, the cluster emits all
+    n(n-1)/2 pairs at hamming 0."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    clones = [(i, text) for i in range(30)]
+    df = spark.createDataFrame(clones, "doc_id long, text string")
+    assert dedup.simhash_pairs(df, max_bucket=10).count() == 0
+    hot = dedup.hot_simhash_buckets(df, max_bucket=10).collect()
+    assert len(hot) == 4 and all(r["n"] == 30 for r in hot)  # 1 per band
+    assert dedup.simhash_pairs(df, max_bucket=10**9).count() == 435
+    # an UNDER-cap dup group in the same corpus still pairs up while the
+    # over-cap cluster is dropped (deterministic: hamming 0 within group)
+    other = "completely different content about spark dataframes and shuffles"
+    mixed = spark.createDataFrame(
+        clones + [(100 + i, other) for i in range(3)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_pairs(mixed, max_bucket=10).collect()
+    }
+    assert got == {(100, 101, 0), (100, 102, 0), (101, 102, 0)}
+
+
 def test_dedup_keep_first_keeps_exactly_one_per_group(spark):
     out = dedup.dedup_keep_first(spark, SF_SMOKE)
     per_group = (
