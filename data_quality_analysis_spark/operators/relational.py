@@ -206,14 +206,36 @@ def value_set_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def numeric_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+def numeric_outlier_bounds(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """CA-011 analog (/root/reference/Library/NumOutlier.R:26-27) +
     quantiles (/root/reference/Library/CreatePlots.R:421-447): min/max/
-    mean/stddev/median of a numeric field per group."""
+    mean/stddev/median of a numeric field per group.
+
+    ``approx=False`` (driver/oracle path): exact discrete median (element
+    at rank ceil(n/2)) via a per-group row_number window — interpolating
+    medians differ at the last ulp between engines, so the oracle uses
+    the same discrete definition. The window is per-group-parallel but
+    sorts every row; fine at report grain.
+
+    ``approx=True`` (production grain): ``percentile_approx`` folds the
+    median into the SAME single hash aggregate as the other stats — one
+    map-side-combinable pass, no window, no sort, no join; the shuffle
+    carries one quantile sketch per group instead of the rows. This is
+    the 100 TB path; the approximation error bound is pytest-pinned
+    (tests/test_pipeline.py)."""
     li = load_table(spark, sf_dir, "lineitem")
-    # Discrete median (element at rank ceil(n/2)) — interpolating medians
-    # differ at the last ulp between engines, so the oracle uses the same
-    # discrete definition.
+    if approx:
+        return li.groupBy("l_returnflag").agg(
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.avg("l_extendedprice"), 2).alias("mean_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(
+                F.percentile_approx("l_extendedprice", 0.5, 10_000), 2
+            ).alias("median_price"),
+        )
     w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     ranked = li.select(
         "l_returnflag",

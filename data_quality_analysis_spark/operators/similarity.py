@@ -70,13 +70,31 @@ def brute_force_topk(
 
 N_BANDS = 4
 PLANES_PER_BAND = 4
-_PLANE_SEED = 42
+# Fixed-point scale for the sign computation: embeddings are float32, so
+# x (as double) * 2^20 is EXACT (power-of-two exponent shift) and floor
+# of it is the same integer in every engine.
+LSH_QUANT = 1 << 20
 
 
-def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
-    """Deterministic hyperplanes from a fixed-seed generator."""
-    rng = np.random.default_rng(_PLANE_SEED)
-    return rng.standard_normal((n_planes, dim))
+def _int_hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic INTEGER hyperplanes, entries in [-3, 3] derived from
+    md5 of (plane, dim) — sparse-sign random projections (Achlioptas-
+    style) have the same LSH guarantees as Gaussian planes, and integer
+    dot products over floor-quantized embeddings are EXACT: the sign bit
+    is bit-identical in numpy and in DuckDB SQL regardless of summation
+    order, which is what upgrades ``sim_lsh_topk`` from rows-only to a
+    full value-hash oracle (the float scheme could flip a near-zero sign
+    between engines)."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for d in range(dim):
+            byte = hashlib.md5(
+                f"lsh-plane-{p}-{d // 16}".encode()
+            ).digest()[d % 16]
+            out[p, d] = byte % 7 - 3
+    return out
 
 
 def make_band_bucket_udf(bands: int, planes_per_band: int):
@@ -99,8 +117,9 @@ def make_band_bucket_udf(bands: int, planes_per_band: int):
     @pandas_udf(ArrayType(LongType()))
     def _udf(emb: pd.Series) -> pd.Series:
         mat = np.stack(emb.to_numpy())  # (n, dim)
-        planes = _hyperplanes(mat.shape[1], bands * planes_per_band)
-        bits = (mat @ planes.T) > 0  # (n, bands*planes)
+        planes = _int_hyperplanes(mat.shape[1], bands * planes_per_band)
+        q = np.floor(mat.astype(np.float64) * LSH_QUANT).astype(np.int64)
+        bits = (q @ planes.T) > 0  # (n, bands*planes) — exact int64 dots
         weights = (1 << np.arange(planes_per_band)).astype(np.int64)
         out = [
             bits[:, b * planes_per_band : (b + 1) * planes_per_band] @ weights
@@ -205,29 +224,26 @@ def near_dup_pairs(
     dropped from candidate generation and reported by
     :func:`hot_embedding_buckets`."""
     emb = with_lsh_bands(embeddings, bands, planes_per_band)
-    # window over the join's own (band, bucket) partitioning — see
-    # dedup.lsh_candidate_pairs for why not an agg+join
-    wsz = Window.partitionBy("band", "bucket")
-    emb = (
-        emb.withColumn("_n", F.count(F.lit(1)).over(wsz))
-        .filter(F.col("_n") <= max_bucket)
-        .drop("_n")
-    )
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        "band",
-        "bucket",
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        "band",
-        "bucket",
-    )
+    # Single-evaluation pair generation (same pattern as
+    # dedup.lsh_candidate_pairs): ONE (band, bucket) hash aggregate
+    # collects each bucket's members, the cap is a size filter, pairs
+    # explode per bucket. A self-join would run the banding pandas-UDF
+    # subtree twice — Spark never shares work across self-join inputs.
+    # Buffer memory is O(bucket) embeddings (dim floats each), linear vs
+    # the O(m²) join rows the cap exists to prevent.
+    buckets = emb.groupBy("band", "bucket").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("_m")
+    ).filter(F.size("_m").between(2, max_bucket))
     pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.explode("_m").alias("a"), "_m")
+        .select("a", F.explode("_m").alias("b"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (

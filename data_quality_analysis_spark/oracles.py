@@ -410,17 +410,31 @@ merged AS (
               ELSE 'persistent' END AS status,
          c.finding AS cur_finding,
          c.prevalence AS cur_prevalence,
-         round(c.pct - p.pct, 2) AS delta
+         round(c.pct - p.pct, 2) AS delta,
+         p.finding AS prev_finding
   FROM cur_issues c FULL OUTER JOIN prev_issues p
     ON c.tbl = p.tbl AND c.field = p.field
    AND c.issue_code = p.issue_code AND c.alias = p.alias),
+refined AS (
+  -- per-code resolver branches (resolution.py reconcile; reference
+  -- resolvers ca_008/aa_003/cb_002)
+  SELECT tbl, field, issue_code, alias,
+         CASE WHEN issue_code = 'QF-CB-003' AND status = 'persistent'
+                   AND cur_finding <> prev_finding THEN 'under review'
+              WHEN issue_code = 'QF-AA-003' AND status = 'persistent'
+                   AND delta > 0 THEN 'under review'
+              WHEN issue_code = 'QF-CB-002' AND status = 'persistent'
+                   AND cur_finding <> prev_finding THEN 'new'
+              ELSE status END AS status,
+         cur_finding, cur_prevalence, delta
+  FROM merged),
 drift AS (
   SELECT tbl, field, 'QF-CA-006' AS issue_code, alias || '_drift' AS alias,
          'drift' AS status, cur_finding, cur_prevalence, delta
   FROM merged
   WHERE status = 'persistent' AND abs(delta) > {drift_pct}),
 unioned AS (
-  SELECT * FROM merged UNION ALL SELECT * FROM drift),
+  SELECT * FROM refined UNION ALL SELECT * FROM drift),
 ranked AS (SELECT *, {_rank_case_sql()} AS rank FROM unioned)
 SELECT 'quality_filter' AS model, '1.0' AS model_version,
        '{data_version}' AS data_version, '{__version__}' AS dqa_version,
@@ -586,4 +600,177 @@ SELECT doc_a, doc_b,
        CAST(bit_count(CAST(xor(sh_a, sh_b) AS BIT)) AS INT) AS hamming
 FROM pairs
 WHERE bit_count(CAST(xor(sh_a, sh_b) AS BIT)) <= {max_hamming}
+"""
+
+
+def rates_by_scope_oracle(scope_col: str = "lang") -> str:
+    """Per-(scope, rule) violation rates (qf_rule_rates_by_lang): the
+    rates oracle grouped by the scope column; NULL scope is its own
+    group, matching Spark's groupBy NULL semantics."""
+    from data_quality_analysis_spark.rules.catalog import default_catalog
+
+    full = _allsig_sql()
+    selects = [
+        f"SELECT {scope_col} AS scope, '{r.name}' AS rule_name,\n"
+        f"  CAST(sum(CASE WHEN viol_{r.name} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS violations,\n"
+        f"  CAST(count(*) AS BIGINT) AS total,\n"
+        f"  round(sum(CASE WHEN viol_{r.name} THEN 1 ELSE 0 END) * 100.0"
+        f" / count(*), 2) AS pct\nFROM allsig GROUP BY {scope_col}"
+        for r in default_catalog()
+    ]
+    return full + "\nUNION ALL\n".join(selects)
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "CAST(NULL AS DOUBLE)"
+    return repr(float(v))
+
+
+def scoped_issues_oracle(data_version: str = "r3", scope_col: str = "lang") -> str:
+    """qf_scoped_issues: full SQL re-derivation of
+    verdict.issues_from_scoped_rates — the per-scope rates joined to the
+    catalog's default bands plus the Rule.scope_overrides rows (emitted
+    here as literal VALUES from the same catalog object, so thresholds
+    cannot drift between engines)."""
+    from data_quality_analysis_spark.rules.catalog import default_catalog
+
+    cat = default_catalog()
+    rates = rates_by_scope_oracle(scope_col)
+    def_rows = ",\n    ".join(
+        f"('{r.name}', '{r.code}', '{r.description.replace(chr(39), chr(39)*2)}', "
+        f"{_sql_lit(r.lower)}, {_sql_lit(r.upper)})"
+        for r in cat
+    )
+    ov_list = [
+        (r.name, scope, o.get("lower", r.lower), o.get("upper", r.upper))
+        for r in cat
+        for scope, o in sorted(r.scope_overrides.items())
+    ]
+    if ov_list:
+        ov_rows = ",\n    ".join(
+            f"('{name}', '{scope}', {_sql_lit(lo)}, {_sql_lit(hi)})"
+            for name, scope, lo, hi in ov_list
+        )
+        ov_cte = (
+            "ov(rule_name, scope, ov_lower, ov_upper) AS (VALUES\n    "
+            + ov_rows + ")"
+        )
+    else:
+        ov_cte = (
+            "ov AS (SELECT CAST(NULL AS VARCHAR) AS rule_name, "
+            "CAST(NULL AS VARCHAR) AS scope, CAST(NULL AS DOUBLE) AS "
+            "ov_lower, CAST(NULL AS DOUBLE) AS ov_upper WHERE FALSE)"
+        )
+    return f"""
+WITH rates AS ({rates}),
+cat(rule_name, code, description, def_lower, def_upper) AS (VALUES
+    {def_rows}),
+{ov_cte},
+joined AS (
+  SELECT r.scope, r.rule_name, r.violations, r.total, r.pct,
+         c.code, c.description,
+         coalesce(o.ov_lower, c.def_lower) AS lower,
+         coalesce(o.ov_upper, c.def_upper) AS upper
+  FROM rates r
+  JOIN cat c ON r.rule_name = c.rule_name
+  LEFT JOIN ov o ON r.rule_name = o.rule_name AND r.scope = o.scope)
+SELECT '{data_version}' AS data_version,
+       'corpus' AS "table",
+       coalesce(scope, '(none)') AS field,
+       code AS issue_code,
+       description AS issue_description,
+       rule_name AS alias,
+       'violation rate ' || CAST(pct AS VARCHAR) || '% (' ||
+         CAST(violations AS VARCHAR) || '/' || CAST(total AS VARCHAR) ||
+         ') vs [' || coalesce(CAST(lower AS VARCHAR), '-') || ', ' ||
+         coalesce(CAST(upper AS VARCHAR), '-') || ']' AS finding,
+       CASE WHEN abs(pct) <= 1 THEN 'low'
+            WHEN abs(pct) < 30 THEN 'medium'
+            WHEN abs(pct) < 100 THEN 'high'
+            ELSE 'full' END AS prevalence
+FROM joined
+WHERE (lower IS NOT NULL AND pct < lower)
+   OR (upper IS NOT NULL AND pct > upper)
+"""
+
+
+def lsh_topk_oracle(
+    dim: int = 64,
+    bands: int = 4,
+    planes_per_band: int = 4,
+    k: int = 5,
+    n_queries: int = 3,
+) -> str:
+    """Full SQL re-derivation of similarity.lsh_topk: the integer
+    hyperplanes (similarity._int_hyperplanes — shared function, emitted
+    as literals), the exact floor-quantized sign dots, band buckets,
+    candidate join, exact-cosine re-rank. Every sign bit is an integer
+    comparison in both engines, so the match is exact, not probabilistic.
+    ``dim`` must equal the embedding length in the data (64 in every
+    testdata sf)."""
+    from data_quality_analysis_spark.operators.similarity import (
+        LSH_QUANT,
+        _int_hyperplanes,
+    )
+
+    planes = _int_hyperplanes(dim, bands * planes_per_band)
+    dot_exprs = ",\n         ".join(
+        "list_sum(list_transform(list_zip(qv, ["
+        + ", ".join(str(int(w)) for w in planes[p])
+        + f"]), x -> x[1] * x[2])) AS d{p}"
+        for p in range(bands * planes_per_band)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT vec_id, embedding, {b} AS band, {expr} AS bucket FROM dots".format(
+            b=b,
+            expr=" + ".join(
+                f"(CASE WHEN d{b * planes_per_band + i} > 0 THEN {1 << i} "
+                f"ELSE 0 END)"
+                for i in range(planes_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    cos = """
+                round(
+                  list_sum(list_transform(list_zip(embedding, query_vec),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(query_vec,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"""
+    return f"""
+WITH quant AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {LSH_QUANT}) AS BIGINT)) AS qv
+  FROM embeddings),
+dots AS (
+  SELECT vec_id, embedding,
+         {dot_exprs}
+  FROM quant),
+banded AS (
+  {band_selects}),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
+qbanded AS (
+  SELECT q.query_id, q.query_vec, b.band, b.bucket
+  FROM queries q JOIN banded b ON b.vec_id = q.query_id),
+cand AS (
+  SELECT DISTINCT qb.query_id, qb.query_vec, e.vec_id, e.embedding
+  FROM banded e
+  JOIN qbanded qb ON e.band = qb.band AND e.bucket = qb.bucket
+   AND e.vec_id <> qb.query_id),
+scored AS (
+  SELECT query_id, vec_id,{cos} AS cosine
+  FROM cand)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {k}
 """

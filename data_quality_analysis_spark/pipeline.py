@@ -67,7 +67,7 @@ def run_rules(
         staged = with_duplicate_flag(staged)
     else:
         staged = with_duplicate_flag_from_set(staged, dup_shas)
-    staged = with_analysis(staged)
+    staged = with_analysis(staged, bounds=catalog.bounds)
     return with_verdict(staged, catalog)
 
 

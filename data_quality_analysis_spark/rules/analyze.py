@@ -63,7 +63,7 @@ def _analyze_udf(content: pd.Series) -> pd.DataFrame:
     return analyze_batch(content)
 
 
-def with_analysis(df: DataFrame) -> DataFrame:
+def with_analysis(df: DataFrame, bounds: dict | None = None) -> DataFrame:
     """Attach all Stage-B/C outputs + rule flags in one fused UDF pass."""
     out = df.withColumn("_a", _analyze_udf(F.col("content"))).select(
         "*",
@@ -73,4 +73,4 @@ def with_analysis(df: DataFrame) -> DataFrame:
         F.col("_a.n_pii_spans").alias("n_pii_spans"),
         F.col("_a.n_blocklist").alias("n_blocklist"),
     ).drop("_a")
-    return scrub_flags(score_flags(out))
+    return scrub_flags(score_flags(out, bounds=bounds))

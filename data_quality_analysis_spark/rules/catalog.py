@@ -33,6 +33,20 @@ class Rule:
     upper: float | None = None
     ref: str = ""  # reference file:line this rule is the analog of
     params: dict = field(default_factory=dict)
+    # Per-scope threshold overrides — the analog of the reference's
+    # per-(table, field) threshold CSV rows (one row per Table×Field with
+    # its own Lower/Upper, /root/reference/Library/CheckFunctions.R:29-90,
+    # Data/DQACatalog/CA-011_implausible_numerical_values.csv). Here the
+    # scope is a corpus column (default `lang`): {scope_value:
+    # {"lower": x|None, "upper": y|None}}. Rules without an entry for a
+    # scope fall back to the rule-level lower/upper.
+    scope_overrides: dict = field(default_factory=dict)
+
+    def bounds_for(self, scope: str | None) -> tuple[float | None, float | None]:
+        o = self.scope_overrides.get(scope)
+        if o is None:
+            return (self.lower, self.upper)
+        return (o.get("lower", self.lower), o.get("upper", self.upper))
 
 
 # Tunable heuristic bounds (CA-011 threshold-CSV analog,
@@ -58,7 +72,10 @@ def default_catalog() -> "RuleCatalog":
              ref="Library/MissData.R:16-38"),
         Rule("QF-CA-011a", "max_line_len",
              f"max line length > {BOUNDS['max_line_len']}", True, upper=5.0,
-             ref="Library/NumOutlier.R:16-38"),
+             ref="Library/NumOutlier.R:16-38",
+             # per-(table, field) threshold-CSV analog: stricter band for
+             # markdown-ish (fr→.md in CORPUS_SELECT) files
+             scope_overrides={"fr": {"upper": 0.5}}),
         Rule("QF-CA-011b", "mean_line_len",
              f"mean line length > {BOUNDS['mean_line_len']}", True, upper=5.0,
              ref="Library/NumOutlier.R:16-38"),
@@ -92,7 +109,8 @@ def default_catalog() -> "RuleCatalog":
              upper=10.0, ref="Library/LabRange.R:16-46"),
         Rule("QF-PII-001", "pii_found",
              "PII span scrubbed (email / IPv4 / API key)", False, upper=40.0,
-             ref="north rule scrub stage"),
+             ref="north rule scrub stage",
+             scope_overrides={"de": {"upper": 5.0}}),
         Rule("QF-TOX-001", "blocklist_word",
              "blocklist word present", True, upper=10.0,
              ref="north rule scrub stage"),
@@ -101,12 +119,17 @@ def default_catalog() -> "RuleCatalog":
 
 
 class RuleCatalog:
-    def __init__(self, rules: list[Rule]):
+    def __init__(self, rules: list[Rule], bounds: dict | None = None):
         self.rules = list(rules)
         by_name = {r.name: r for r in self.rules}
         if len(by_name) != len(self.rules):
             raise ValueError("duplicate rule names in catalog")
         self.by_name = by_name
+        # Heuristic rule parameters (the reference ships these as data
+        # too — threshold CSVs — so a deployment re-tunes the RULES, not
+        # just the issue-rate bands, without code edits). Defaults to the
+        # module BOUNDS; travels through the JSON round-trip.
+        self.bounds = dict(BOUNDS if bounds is None else bounds)
 
     def flag_cols(self) -> list[str]:
         return [f"viol_{r.name}" for r in self.rules]
@@ -130,18 +153,26 @@ def catalog_to_json(catalog: "RuleCatalog") -> str:
     import json
 
     return json.dumps(
-        [
-            {
-                "code": r.code,
-                "name": r.name,
-                "description": r.description,
-                "drops_file": r.drops_file,
-                "lower": r.lower,
-                "upper": r.upper,
-                "ref": r.ref,
-            }
-            for r in catalog
-        ],
+        {
+            "bounds": catalog.bounds,
+            "rules": [
+                {
+                    "code": r.code,
+                    "name": r.name,
+                    "description": r.description,
+                    "drops_file": r.drops_file,
+                    "lower": r.lower,
+                    "upper": r.upper,
+                    "ref": r.ref,
+                    **(
+                        {"scope_overrides": r.scope_overrides}
+                        if r.scope_overrides
+                        else {}
+                    ),
+                }
+                for r in catalog
+            ],
+        },
         indent=1,
     )
 
@@ -149,9 +180,14 @@ def catalog_to_json(catalog: "RuleCatalog") -> str:
 def catalog_from_json(text: str) -> "RuleCatalog":
     """Load a catalog from its JSON form (see :func:`catalog_to_json`).
     A deployment can ship edited thresholds without touching code, the
-    way the reference sites edit threshold CSVs."""
+    way the reference sites edit threshold CSVs. Accepts both the full
+    {"bounds": ..., "rules": [...]} document and the legacy bare rule
+    list (bounds default to the built-ins)."""
     import json
 
+    doc = json.loads(text)
+    if isinstance(doc, list):  # legacy round-1/2 form
+        doc = {"bounds": None, "rules": doc}
     return RuleCatalog(
         [
             Rule(
@@ -162,9 +198,11 @@ def catalog_from_json(text: str) -> "RuleCatalog":
                 lower=d.get("lower"),
                 upper=d.get("upper"),
                 ref=d.get("ref", ""),
+                scope_overrides=d.get("scope_overrides", {}),
             )
-            for d in json.loads(text)
-        ]
+            for d in doc["rules"]
+        ],
+        bounds=doc.get("bounds"),
     )
 
 

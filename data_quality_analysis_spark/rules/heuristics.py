@@ -62,8 +62,13 @@ def with_heuristic_flags(df: DataFrame, catalog: RuleCatalog) -> DataFrame:
 
     Expects the stat columns from :func:`with_content_stats`. Still one
     projection — Catalyst folds it into the same codegen stage.
+
+    Thresholds come from ``catalog.bounds`` (file-drivable via
+    catalog_to_json/load_catalog), not the module constants — a
+    deployment re-tunes the rules themselves the way reference sites
+    edit the per-check threshold CSVs.
     """
-    b = BOUNDS
+    b = getattr(catalog, "bounds", BOUNDS)
     boiler = F.lit(False)
     for p in BOILERPLATE_PREFIXES:
         boiler = boiler | F.col("content").startswith(p)

@@ -15,6 +15,9 @@ the reference leaves them unranked.
 
 from __future__ import annotations
 
+import csv
+import io
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -24,14 +27,70 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class RankingRule:
     """One row of the reference's rules CSV. ``None`` fields match any
-    value (the reference's ``*``); ``codes``/``prevalences`` are IN-lists
-    (the reference's ``in (...)`` expansion, rules_test.go:31-183)."""
+    value (the reference's ``in (*)``); ``codes``/``prevalences`` are
+    IN-lists (the reference's ``in (...)`` expansion,
+    rules_test.go:31-183). ``field_cond`` names a field-condition
+    predicate (condition.go:16-103); ``fields`` is an explicit field
+    IN-list (parser.go:163-195)."""
 
     rank: str  # High | Medium | Low
     tables: tuple[str, ...] | None = None
     codes: tuple[str, ...] | None = None
     prevalences: tuple[str, ...] | None = None
     field_like: str | None = None  # SQL LIKE pattern on the field name
+    fields: tuple[str, ...] | None = None  # explicit field in-list
+    field_cond: str | None = None  # named condition, see FIELD_CONDITIONS
+
+
+# Named field conditions — DataFrame ports of the reference's Go
+# condition set (/root/reference/Tools/dqa/rules/condition.go:16-103),
+# each a (table Column, field Column) -> boolean Column. The reference
+# tests field NAMES (suffix/contains), so these compile to pure string
+# predicates — one codegen'd projection, no Python.
+def _pk(t: Column, f: Column) -> Column:
+    return f == F.concat(t, F.lit("_id"))
+
+
+def _source_value(t: Column, f: Column) -> Column:
+    return f.endswith("_source_value")
+
+
+def _concept_id(t: Column, f: Column) -> Column:
+    return f.endswith("_concept_id")
+
+
+def _foreign_key(t: Column, f: Column) -> Column:
+    return ~_pk(t, f) & ~_concept_id(t, f) & f.endswith("_id")
+
+
+def _date_year(t: Column, f: Column) -> Column:
+    return f.contains("date") | f.contains("year")
+
+
+def _date_year_time(t: Column, f: Column) -> Column:
+    return f.endswith("_date") | f.endswith("_year") | f.endswith("_time")
+
+
+def _other(t: Column, f: Column) -> Column:
+    return (
+        (f != "")
+        & ~_pk(t, f)
+        & ~_foreign_key(t, f)
+        & ~_source_value(t, f)
+        & ~_concept_id(t, f)
+        & ~_date_year(t, f)
+    )
+
+
+FIELD_CONDITIONS = {
+    "is primary key": _pk,
+    "is source value": _source_value,
+    "is concept id": _concept_id,
+    "is foreign key": _foreign_key,
+    "is date/year": _date_year,
+    "is date/year/time": _date_year_time,
+    "is other": _other,
+}
 
 
 DEFAULT_RANKING: list[RankingRule] = [
@@ -55,15 +114,27 @@ DEFAULT_RANKING: list[RankingRule] = [
 
 
 def _rule_predicate(rule: RankingRule) -> Column:
+    """Compile one rule to a boolean Column. Table / code / prevalence
+    compare case-insensitively, exactly like the reference's Matches
+    (rules.go:94-112 lowercases both sides)."""
     pred = F.lit(True)
+    tcol, fcol = F.lower(F.col("table")), F.col("field")
     if rule.tables is not None:
-        pred = pred & F.col("table").isin(list(rule.tables))
+        pred = pred & tcol.isin([t.lower() for t in rule.tables])
     if rule.codes is not None:
-        pred = pred & F.col("issue_code").isin(list(rule.codes))
+        pred = pred & F.lower(F.col("issue_code")).isin(
+            [c.lower() for c in rule.codes]
+        )
     if rule.prevalences is not None:
-        pred = pred & F.col("prevalence").isin(list(rule.prevalences))
+        pred = pred & F.lower(F.col("prevalence")).isin(
+            [p.lower() for p in rule.prevalences]
+        )
     if rule.field_like is not None:
-        pred = pred & F.col("field").like(rule.field_like)
+        pred = pred & fcol.like(rule.field_like)
+    if rule.fields is not None:
+        pred = pred & fcol.isin(list(rule.fields))
+    if rule.field_cond is not None:
+        pred = pred & FIELD_CONDITIONS[rule.field_cond](tcol, fcol)
     return pred
 
 
@@ -83,3 +154,116 @@ def apply_ranking(
     # reversed + nested otherwise ≡ forward first-match-wins
     final = expr if expr is not None else F.lit(None).cast("string")
     return issues.withColumn("rank", final)
+
+
+# ------------------------------------------------- rules-as-data (CSV) --
+# The reference ships ranking rules as CSV files fetched from a results
+# repo and parsed/validated line by line
+# (/root/reference/Tools/dqa/rules/parser.go:16-295, rules.go:14-19).
+# Same grammar here: header `table,field,issue code,prevalence,rank`;
+# `in (a, b)` expands; field accepts a named condition from
+# FIELD_CONDITIONS or an in-list; prevalence `-` means the reference's
+# literal "unknown" (matches nothing in this corpus, faithfully) and
+# `in (*)` means any. Extensions over the reference grammar, documented:
+# `in (*)` is accepted in EVERY column (our single-table corpus needs
+# wildcard tables), and issue code accepts an in-list (the reference's
+# is single-valued).
+RANKING_HEADER = ["table", "field", "issue code", "prevalence", "rank"]
+PREVALENCES = ("low", "medium", "high", "full")
+_IN_RE = re.compile(r"^in\s*\(([^\)]+)\)$")
+_IDENT_RE = re.compile(r"^[A-Za-z0-9_-]+$")  # ref + '-' (our QF-* codes)
+_RANKS = {"high": "High", "medium": "Medium", "low": "Low"}
+
+
+class RankingParseError(ValueError):
+    def __init__(self, line: int, msg: str):
+        super().__init__(f"Line {line}: {msg}")
+        self.line = line
+
+
+def _parse_in_set(v: str, line: int) -> list[str]:
+    m = _IN_RE.match(v.strip())
+    items = m.group(1).split(",") if m else [v]
+    out = []
+    for x in items:
+        x = x.strip()
+        if not _IDENT_RE.match(x):
+            raise RankingParseError(line, f"'{x}' is not a valid identifier")
+        out.append(x)
+    return out
+
+
+def parse_ranking_csv(text: str) -> list[RankingRule]:
+    """Parse a rules CSV into the expanded, ordered rule list.
+
+    Expansion mirrors parser.go:279-291 exactly: one rule per
+    (table × prevalence) combination, tables outer, prevalences inner,
+    line order preserved — so first-match-wins evaluates identically to
+    the reference's Rules.Run (rules.go:117-126)."""
+    rows = list(csv.reader(io.StringIO(text.strip())))
+    if not rows or [h.strip().lower() for h in rows[0]] != RANKING_HEADER:
+        raise RankingParseError(1, f"header must be {RANKING_HEADER}")
+    rules: list[RankingRule] = []
+    for i, row in enumerate(rows[1:], start=2):
+        if not row or all(not c.strip() for c in row):
+            continue
+        if len(row) != 5:
+            raise RankingParseError(i, f"expected 5 columns, got {len(row)}")
+        t_raw, f_raw, c_raw, p_raw, r_raw = (c.strip() for c in row)
+        tables = None if t_raw == "in (*)" else _parse_in_set(t_raw, i)
+        fields = None
+        field_cond = None
+        if f_raw.lower() in FIELD_CONDITIONS:
+            field_cond = f_raw.lower()
+        elif f_raw == "is date/year":  # deprecated alias kept, parser.go:259
+            field_cond = "is date/year"
+        elif f_raw != "in (*)":
+            fields = tuple(_parse_in_set(f_raw, i))
+        codes = None if c_raw == "in (*)" else tuple(
+            c.lower() for c in _parse_in_set(c_raw, i)
+        )
+        if p_raw == "-":
+            prevalences: list[str] | None = ["unknown"]
+        elif p_raw == "in (*)":
+            prevalences = None
+        else:
+            prevalences = _parse_in_set(p_raw, i)
+        rank = _RANKS.get(r_raw.lower())
+        if rank is None:
+            raise RankingParseError(i, f"'{r_raw}' is not a valid rank")
+        for t in tables or [None]:
+            for p in prevalences or [None]:
+                rules.append(
+                    RankingRule(
+                        rank=rank,
+                        tables=(t,) if t is not None else None,
+                        codes=codes,
+                        prevalences=(p,) if p is not None else None,
+                        fields=fields,
+                        field_cond=field_cond,
+                    )
+                )
+    return rules
+
+
+def load_ranking(path: str) -> list[RankingRule]:
+    """Load ranking rules from a CSV file — the deployment path: rules
+    ship as an editable file, like the reference's RuleSet*.csv."""
+    with open(path) as f:
+        return parse_ranking_csv(f.read())
+
+
+# DEFAULT_RANKING expressed in the CSV grammar; parse_ranking_csv of this
+# text must rank every issue identically to the dataclass list above
+# (pytest-pinned), so deployments can start from a file dump.
+DEFAULT_RANKING_CSV = """\
+table,field,issue code,prevalence,rank
+in (*),in (*),"in (QF-PII-001, QF-TOX-001)",in (*),High
+in (*),in (*),"in (QF-AA-003, QF-CB-002)","in (high, full)",High
+in (*),in (*),"in (QF-AA-003, QF-CB-002)",in (*),Medium
+in (*),in (*),"in (QF-AA-002, QF-BA-002, QF-BA-002b, QF-CB-003)","in (medium, high, full)",Medium
+in (*),in (*),"in (QF-AA-002, QF-BA-002, QF-BA-002b, QF-CB-003)",in (*),Low
+in (*),in (*),in (*),in (full),High
+in (*),in (*),in (*),"in (medium, high)",Medium
+in (*),in (*),in (*),in (low),Low
+"""

@@ -17,6 +17,26 @@ Statuses (the reference's lifecycle: new / persistent / resolved):
 Plus the BA-001→CA-006 synthesis: a persistent issue whose numeric
 finding moved by more than ``drift_pct`` emits an extra drift issue row
 (code ``QF-CA-006``), mirroring resolvers/ba_001.py.
+
+Per-code refinement (the reference dispatches a resolver module per check
+code, resolve.py:165-199): three code-specific behaviors ride the same
+join as ``F.when`` branches keyed on issue_code — no subprocess, no
+per-row Python:
+
+- ``QF-CB-003`` (ca_008.py:8-25 pattern): a persistent outlier-band
+  issue whose finding CHANGED between cycles goes to ``under review``
+  (the outlier did not persist identically — re-check before carrying
+  annotations forward); unchanged findings stay ``persistent``.
+- ``QF-AA-003`` (aa_003.py + dup-rate direction): a persistent
+  duplicate-rate issue that WORSENED (delta > 0) goes to
+  ``under review``; an improving rate stays ``persistent``.
+- ``QF-CB-002`` (cb_002.py:13-24): a persistent boilerplate issue with a
+  changed finding is re-emitted as ``new`` (the reference builds the
+  replacement off the log issue with status 'new').
+
+Drift synthesis keys off the RAW persistent status (both can fire for
+one row: the drift row is separate), and the DuckDB lifecycle oracle
+mirrors every branch.
 """
 
 from __future__ import annotations
@@ -68,6 +88,25 @@ def reconcile(
             "finding_delta_pct"
         ),
     )
+    changed = F.col("cur_finding") != F.col("prev_finding")
+    persistent = F.col("status") == "persistent"
+    refined_status = (
+        F.when(
+            (F.col("issue_code") == "QF-CB-003") & persistent & changed,
+            F.lit("under review"),
+        )
+        .when(
+            (F.col("issue_code") == "QF-AA-003")
+            & persistent
+            & (F.col("finding_delta_pct") > 0),
+            F.lit("under review"),
+        )
+        .when(
+            (F.col("issue_code") == "QF-CB-002") & persistent & changed,
+            F.lit("new"),
+        )
+        .otherwise(F.col("status"))
+    )
     drift = (
         merged.filter(
             (F.col("status") == "persistent")
@@ -90,4 +129,4 @@ def reconcile(
             "finding_delta_pct",
         )
     )
-    return merged.unionByName(drift)
+    return merged.withColumn("status", refined_status).unionByName(drift)

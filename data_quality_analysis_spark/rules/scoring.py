@@ -118,9 +118,12 @@ def _score_udf(content: pd.Series) -> pd.DataFrame:
     )
 
 
-def score_flags(df: DataFrame) -> DataFrame:
-    """Stage-B rule flags from existing detected_lang/perplexity columns."""
-    b = BOUNDS
+def score_flags(df: DataFrame, bounds: dict | None = None) -> DataFrame:
+    """Stage-B rule flags from existing detected_lang/perplexity columns.
+    ``bounds`` overrides the perplexity band (catalog.bounds);
+    ``langid_min_hits`` stays a model parameter baked into the UDF — it
+    is part of the language-ID model, not a rule threshold."""
+    b = bounds or BOUNDS
     return (
         df.withColumn(
             "viol_langid_mismatch",

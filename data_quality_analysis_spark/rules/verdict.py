@@ -60,6 +60,114 @@ def rule_rates(df: DataFrame, catalog: RuleCatalog) -> DataFrame:
     )
 
 
+def rule_rates_by_scope(
+    df: DataFrame, catalog: RuleCatalog, scope_col: str = "lang"
+) -> DataFrame:
+    """Per-(scope, rule) violation rates — the reference evaluates every
+    check per (table, field) with its own threshold CSV row
+    (/root/reference/Library/CheckFunctions.R:29-90); the corpus analog
+    scopes by a column (default ``lang``). Same single-pass shape as
+    :func:`rule_rates`: one grouped agg (map-side combinable — the
+    shuffle carries one row per scope, not per file), then unpivot to
+    (scope, rule_name, violations, total, pct). NULL scope is its own
+    group, exactly as a NULL field value is in the reference reports."""
+    aggs = [F.count(F.lit(1)).alias("_total")] + [
+        F.sum(F.col(f"viol_{r.name}").cast("long")).alias(r.name) for r in catalog
+    ]
+    wide = df.groupBy(F.col(scope_col).alias("scope")).agg(*aggs)
+    stack_expr = ", ".join(f"'{r.name}', {r.name}" for r in catalog)
+    return wide.select(
+        "scope",
+        F.col("_total").alias("total"),
+        F.expr(f"stack({len(catalog)}, {stack_expr}) as (rule_name, violations)"),
+    ).select(
+        "scope",
+        "rule_name",
+        "violations",
+        "total",
+        F.round(F.col("violations") * 100.0 / F.col("total"), 2).alias("pct"),
+    )
+
+
+def issues_from_scoped_rates(
+    spark: SparkSession,
+    scoped_rates: DataFrame,
+    catalog: RuleCatalog,
+    data_version: str = "r1",
+    table: str = "corpus",
+) -> DataFrame:
+    """Scoped issue rows: each (scope, rule) rate compares against the
+    rule's ``bounds_for(scope)`` — the scope override when the catalog
+    ships one (Rule.scope_overrides, the per-(table, field) threshold-CSV
+    analog), else the rule-level band. The threshold table is tiny
+    (|rules| × |overridden scopes| rows) and broadcast; unmatched scopes
+    fall back via the default row."""
+    default_rows = [
+        (r.name, r.code, r.description, r.lower, r.upper) for r in catalog
+    ]
+    cat_df = spark.createDataFrame(
+        default_rows, "rule_name string, code string, description string, "
+        "def_lower double, def_upper double"
+    )
+    override_rows = [
+        (r.name, scope, o.get("lower", r.lower), o.get("upper", r.upper))
+        for r in catalog
+        for scope, o in sorted(r.scope_overrides.items())
+    ]
+    ov_df = spark.createDataFrame(
+        override_rows or [(None, None, None, None)],
+        "rule_name string, scope string, ov_lower double, ov_upper double",
+    ).filter(F.col("rule_name").isNotNull())
+    joined = (
+        scoped_rates.join(F.broadcast(cat_df), "rule_name")
+        .join(F.broadcast(ov_df), ["rule_name", "scope"], "left")
+        .withColumn(
+            "lower",
+            F.when(F.col("ov_lower").isNotNull(), F.col("ov_lower")).otherwise(
+                F.col("def_lower")
+            ),
+        )
+        .withColumn(
+            "upper",
+            F.when(F.col("ov_upper").isNotNull(), F.col("ov_upper")).otherwise(
+                F.col("def_upper")
+            ),
+        )
+    )
+    out_of_band = joined.filter(
+        (F.col("lower").isNotNull() & (F.col("pct") < F.col("lower")))
+        | (F.col("upper").isNotNull() & (F.col("pct") > F.col("upper")))
+    )
+    prevalence = (
+        F.when(F.abs(F.col("pct")) <= 1, "low")
+        .when(F.abs(F.col("pct")) < 30, "medium")
+        .when(F.abs(F.col("pct")) < 100, "high")
+        .otherwise("full")
+    )
+    return out_of_band.select(
+        F.lit(data_version).alias("data_version"),
+        F.lit(table).alias("table"),
+        F.coalesce(F.col("scope"), F.lit("(none)")).alias("field"),
+        F.col("code").alias("issue_code"),
+        F.col("description").alias("issue_description"),
+        F.col("rule_name").alias("alias"),
+        F.concat(
+            F.lit("violation rate "),
+            F.col("pct").cast("string"),
+            F.lit("% ("),
+            F.col("violations").cast("string"),
+            F.lit("/"),
+            F.col("total").cast("string"),
+            F.lit(") vs ["),
+            F.coalesce(F.col("lower").cast("string"), F.lit("-")),
+            F.lit(", "),
+            F.coalesce(F.col("upper").cast("string"), F.lit("-")),
+            F.lit("]"),
+        ).alias("finding"),
+        prevalence.alias("prevalence"),
+    )
+
+
 def rule_offender_samples(
     df: DataFrame,
     catalog: RuleCatalog,

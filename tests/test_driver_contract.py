@@ -55,4 +55,4 @@ def test_queries_and_oracles_are_consistent_sets(spark):
     assert set(oracles) <= set(queries)
     rows_only = set(queries) - set(oracles)
     # the genuinely non-SQL remainder, each pytest-oracled elsewhere
-    assert rows_only == {"sim_lsh_topk", "mm_media_features"}
+    assert rows_only == {"mm_media_features"}

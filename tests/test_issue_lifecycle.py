@@ -83,8 +83,10 @@ def test_reconcile_lifecycle(spark):
     assert by_alias["empty_content"][0]["finding_delta_pct"] == 1.0
     assert by_alias["gone_next_cycle"][0]["status"] == "resolved"
     assert by_alias["brand_new"][0]["status"] == "new"
-    assert by_alias["drifter"][0]["status"] == "persistent"
-    # drift synthesis: |40-5| > 10 → extra QF-CA-006 row
+    # per-code CB-003 branch (ca_008 pattern): changed finding → review
+    assert by_alias["drifter"][0]["status"] == "under review"
+    # drift synthesis keys off the RAW persistent status: |40-5| > 10 →
+    # extra QF-CA-006 row emitted alongside the refined row
     drift = by_alias["drifter_drift"][0]
     assert drift["issue_code"] == "QF-CA-006"
     assert drift["status"] == "drift"
@@ -136,3 +138,167 @@ def test_reconcile_identical_runs_all_persistent_no_drift(spark):
     out = reconcile(cur, prev).collect()
     assert {r["status"] for r in out} == {"persistent"}
     assert len(out) == 2
+
+
+# ------------------------------------------------- rules-as-data (CSV) --
+# Golden tests mirroring the reference's parser tests
+# (/root/reference/Tools/dqa/rules/rules_test.go:31-183): same CSV text
+# shape, same expansion (tables outer, prevalences inner, line order).
+_GOLDEN_RULES_CSV = '''\
+table,field,issue code,prevalence,rank
+"in (condition_occurrence, visit_payer)",is primary key,G4-001,full,High
+visit_payer,is source value,G2-013,"in (medium, high, low)",High
+"visit_payer",is date/year,G2-002,unknown,High
+"visit_payer","in (plan_type, plan_class)",G2-013,"in (high, low)",Medium
+"visit_payer","is concept id",G3-002,-,Medium
+"visit_payer","is other",G3-002,-,Medium
+"visit_payer","is date/year/time",G2-002,-,Low
+'''
+
+
+def test_ranking_csv_parser_expansion_matches_reference_goldens():
+    from data_quality_analysis_spark.rules.ranking import parse_ranking_csv
+
+    rules = parse_ranking_csv(_GOLDEN_RULES_CSV)
+    got = [
+        (r.tables, r.field_cond or r.fields, r.codes, r.prevalences, r.rank)
+        for r in rules
+    ]
+    sv = "is source value"
+    assert got == [
+        (("condition_occurrence",), "is primary key", ("g4-001",), ("full",), "High"),
+        (("visit_payer",), "is primary key", ("g4-001",), ("full",), "High"),
+        (("visit_payer",), sv, ("g2-013",), ("medium",), "High"),
+        (("visit_payer",), sv, ("g2-013",), ("high",), "High"),
+        (("visit_payer",), sv, ("g2-013",), ("low",), "High"),
+        (("visit_payer",), "is date/year", ("g2-002",), ("unknown",), "High"),
+        (("visit_payer",), ("plan_type", "plan_class"), ("g2-013",), ("high",), "Medium"),
+        (("visit_payer",), ("plan_type", "plan_class"), ("g2-013",), ("low",), "Medium"),
+        (("visit_payer",), "is concept id", ("g3-002",), ("unknown",), "Medium"),
+        (("visit_payer",), "is other", ("g3-002",), ("unknown",), "Medium"),
+        (("visit_payer",), "is date/year/time", ("g2-002",), ("unknown",), "Low"),
+    ]
+
+
+def test_ranking_csv_parser_rejects_bad_input():
+    import pytest
+
+    from data_quality_analysis_spark.rules.ranking import (
+        RankingParseError,
+        parse_ranking_csv,
+    )
+
+    with pytest.raises(RankingParseError):  # bad header
+        parse_ranking_csv("a,b,c,d,e\nx,y,z,w,High")
+    with pytest.raises(RankingParseError):  # bad rank (parser.go:214-230)
+        parse_ranking_csv(
+            "table,field,issue code,prevalence,rank\nt,in (*),c,low,Urgent"
+        )
+    with pytest.raises(RankingParseError):  # bad identifier in in-set
+        parse_ranking_csv(
+            "table,field,issue code,prevalence,rank\n"
+            '"in (a b, c)",in (*),c,low,High'
+        )
+
+
+def test_ranking_field_conditions_match_reference_semantics(spark):
+    """Each named condition fires on the reference test's field and not
+    on a counterexample (condition.go:16-103 ports)."""
+    from data_quality_analysis_spark.rules.ranking import (
+        RankingRule,
+        apply_ranking,
+    )
+
+    rows = [
+        # (table, field, cond, expect_match)
+        ("visit_payer", "visit_payer_id", "is primary key", True),
+        ("visit_payer", "other_id", "is primary key", False),
+        ("visit_payer", "visit_payer_source_value", "is source value", True),
+        ("visit_payer", "visit_payer_concept_id", "is concept id", True),
+        ("visit_payer", "plan_id", "is foreign key", True),
+        ("visit_payer", "visit_payer_id", "is foreign key", False),
+        ("visit_payer", "visit_payer_concept_id", "is foreign key", False),
+        ("visit_payer", "visit_payer_date", "is date/year", True),
+        ("visit_payer", "birth_year", "is date/year", True),
+        ("visit_payer", "visit_payer_time", "is date/year/time", True),
+        ("visit_payer", "date_of_birth", "is date/year/time", False),
+        ("visit_payer", "some_field", "is other", True),
+        ("visit_payer", "visit_payer_id", "is other", False),
+    ]
+    for table, field, cond, expect in rows:
+        df = spark.createDataFrame(
+            [(table, field, "g0-000", "low")],
+            "table string, field string, issue_code string, prevalence string",
+        )
+        rank = apply_ranking(
+            df, [RankingRule("High", field_cond=cond)]
+        ).collect()[0]["rank"]
+        assert (rank == "High") == expect, (table, field, cond, expect)
+
+
+def test_default_ranking_csv_roundtrip_identical_ranks(spark, tmp_path):
+    """DEFAULT_RANKING shipped as CSV, loaded from a FILE, must rank the
+    real lifecycle issues identically to the in-code rule list — the
+    deployment path for editing ranking rules without code changes."""
+    from data_quality_analysis_spark.rules.ranking import (
+        DEFAULT_RANKING_CSV,
+        load_ranking,
+    )
+    from data_quality_analysis_spark.rules.report import secondary_report
+
+    prev = _issues(spark, [
+        _row(version="r1", alias="empty_content", pct=10.0),
+        _row(version="r1", alias="gone", code="QF-CA-011a", pct=3.0),
+        _row(version="r1", alias="drifter", code="QF-CB-003", pct=5.0),
+    ])
+    cur = _issues(spark, [
+        _row(version="r2", alias="empty_content", pct=11.0),
+        _row(version="r2", alias="brand_new", code="QF-TOX-001", pct=1.0),
+        _row(version="r2", alias="drifter", code="QF-CB-003", pct=40.0,
+             prevalence="full"),
+    ])
+    p = tmp_path / "ranking.csv"
+    p.write_text(DEFAULT_RANKING_CSV)
+    base = sorted(
+        (r["check_code"], r["field"], r["status"], r["rank"])
+        for r in secondary_report(cur, prev).collect()
+    )
+    via_file = sorted(
+        (r["check_code"], r["field"], r["status"], r["rank"])
+        for r in secondary_report(cur, prev, rules=load_ranking(str(p))).collect()
+    )
+    assert base == via_file and base
+
+
+def test_per_code_resolver_branches(spark):
+    """Reference per-code resolvers as F.when branches (resolution.py):
+    CB-003 finding changed → under review (ca_008.py pattern); AA-003
+    worsened → under review, improved stays persistent (dup-rate
+    direction); CB-002 changed → re-emitted new (cb_002.py); other codes
+    untouched — golden cases like resolve.py --tests."""
+    prev = _issues(spark, [
+        _row(version="r1", code="QF-CB-003", alias="perp", pct=5.0),
+        _row(version="r1", code="QF-CB-003", alias="perp_same", pct=5.0),
+        _row(version="r1", code="QF-AA-003", alias="dups_up", pct=5.0),
+        _row(version="r1", code="QF-AA-003", alias="dups_down", pct=5.0),
+        _row(version="r1", code="QF-CB-002", alias="boiler", pct=5.0),
+        _row(version="r1", code="QF-BA-001", alias="plain", pct=5.0),
+    ])
+    cur = _issues(spark, [
+        _row(version="r2", code="QF-CB-003", alias="perp", pct=6.0),
+        _row(version="r2", code="QF-CB-003", alias="perp_same", pct=5.0),
+        _row(version="r2", code="QF-AA-003", alias="dups_up", pct=7.0),
+        _row(version="r2", code="QF-AA-003", alias="dups_down", pct=3.0),
+        _row(version="r2", code="QF-CB-002", alias="boiler", pct=6.0),
+        _row(version="r2", code="QF-BA-001", alias="plain", pct=6.0),
+    ])
+    st = {r["alias"]: r["status"] for r in reconcile(cur, prev).collect()}
+    assert st["perp"] == "under review"
+    assert st["perp_same"] == "persistent"
+    assert st["dups_up"] == "under review"
+    assert st["dups_down"] == "persistent"
+    assert st["boiler"] == "new"
+    assert st["plain"] == "persistent"
+    # resolved/new lifecycle rows are never touched by per-code branches
+    only_cur = reconcile(cur, _issues(spark, [])).collect()
+    assert all(r["status"] == "new" for r in only_cur)

@@ -203,16 +203,108 @@ def test_catalog_json_roundtrip_drives_identical_verdicts(spark, tmp_path):
     )
     assert base == via_file
 
-    # edit a threshold in the FILE: the max_chars bound tightened to 0
-    # must flip every non-empty file to a too_large violation
+    # scoped threshold overrides survive the round-trip byte-for-byte
+    assert (
+        loaded.by_name["max_line_len"].scope_overrides
+        == default_catalog().by_name["max_line_len"].scope_overrides
+        != {}
+    )
+    # ...and so do the heuristic BOUNDS (now part of the document)
+    assert loaded.bounds == default_catalog().bounds
+
+    # edit a heuristic bound in the FILE: max_chars tightened to 10 must
+    # flip every non-trivial file to a too_large drop — the rules
+    # themselves re-tune from data, not just the issue-rate bands
     import json
 
-    rules = json.loads(path.read_text())
-    for r in rules:
-        if r["name"] == "too_large":
-            r["description"] = "content > 0 chars (edited)"
-    path.write_text(json.dumps(rules))
+    doc = json.loads(path.read_text())
+    doc["bounds"]["max_chars"] = 10
+    path.write_text(json.dumps(doc))
     edited = load_catalog(str(path))
-    # drops_file rules still produce a drop when the flag fires; the flag
-    # itself comes from BOUNDS, so assert the catalog metadata surfaced
-    assert edited.by_name["too_large"].description.endswith("(edited)")
+    n_kept_base = sum(1 for _, k in base if k)
+    kept_edited = sum(
+        1 for r in run_rules(corpus, edited).collect() if r["keep"]
+    )
+    assert kept_edited < n_kept_base
+
+
+def test_scoped_rates_roll_up_and_overrides_fire(spark):
+    """Per-(lang, rule) rates must roll up exactly to the global rates,
+    and the scoped-issue set must equal a pure-Python re-derivation from
+    the collected rates + Rule.bounds_for — including at least one issue
+    that ONLY an override (not the rule-level band) fires."""
+    from data_quality_analysis_spark.corpus import corpus_view
+    from data_quality_analysis_spark.pipeline import run_rules
+    from data_quality_analysis_spark.rules.catalog import default_catalog
+    from data_quality_analysis_spark.rules.verdict import (
+        issues_from_scoped_rates,
+        rule_rates,
+        rule_rates_by_scope,
+    )
+
+    cat = default_catalog()
+    staged = run_rules(corpus_view(spark, SF_SMOKE))
+    scoped = rule_rates_by_scope(staged, cat, "lang").collect()
+    glob = {r["rule_name"]: (r["violations"], r["total"])
+            for r in rule_rates(staged, cat).collect()}
+    rollup: dict = {}
+    for r in scoped:
+        v, t = rollup.get(r["rule_name"], (0, 0))
+        rollup[r["rule_name"]] = (v + r["violations"], t + r["total"])
+    assert rollup == glob
+
+    got = {
+        (r["alias"], r["field"])
+        for r in issues_from_scoped_rates(
+            spark, rule_rates_by_scope(staged, cat, "lang"), cat
+        ).collect()
+    }
+    expect = set()
+    override_only = set()
+    for r in scoped:
+        rule = cat.by_name[r["rule_name"]]
+        lo, hi = rule.bounds_for(r["scope"])
+        oob = (lo is not None and r["pct"] < lo) or (
+            hi is not None and r["pct"] > hi
+        )
+        if oob:
+            expect.add((r["rule_name"], r["scope"] or "(none)"))
+            dlo, dhi = rule.lower, rule.upper
+            default_oob = (dlo is not None and r["pct"] < dlo) or (
+                dhi is not None and r["pct"] > dhi
+            )
+            if not default_oob:
+                override_only.add((r["rule_name"], r["scope"]))
+    assert got == expect
+    assert override_only, "fixture must exercise an override-only issue"
+
+
+def test_numeric_outlier_bounds_approx_matches_exact_within_rank_error(spark):
+    """The approx=True path (percentile_approx, single aggregate — the
+    production-grain variant) must agree with the exact discrete median:
+    identical non-median stats, and a median whose RANK error is within
+    percentile_approx's guarantee (accuracy 10000 → rank error n/10000,
+    i.e. exact on these group sizes ≪ 10000... but assert the documented
+    bound, not luck: value must lie within the group's [p45, p55])."""
+    from data_quality_analysis_spark.operators import relational
+
+    exact = {r["l_returnflag"]: r for r in
+             relational.numeric_outlier_bounds(spark, SF_SMOKE).collect()}
+    approx = {r["l_returnflag"]: r for r in
+              relational.numeric_outlier_bounds(spark, SF_SMOKE, approx=True)
+              .collect()}
+    assert set(exact) == set(approx)
+    li = relational.load_table(spark, SF_SMOKE, "lineitem")
+    bands = {
+        r["l_returnflag"]: (r["lo"], r["hi"])
+        for r in li.groupBy("l_returnflag").agg(
+            F.expr("percentile(l_extendedprice, 0.45)").alias("lo"),
+            F.expr("percentile(l_extendedprice, 0.55)").alias("hi"),
+        ).collect()
+    }
+    for g, e in exact.items():
+        a = approx[g]
+        for c in ("min_price", "max_price", "mean_price", "sd_price"):
+            assert e[c] == a[c], (g, c)
+        lo, hi = bands[g]
+        assert lo <= a["median_price"] <= hi, (g, a["median_price"], lo, hi)
