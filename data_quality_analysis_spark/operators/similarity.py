@@ -234,24 +234,23 @@ def near_dup_pairs(
     buckets = emb.groupBy("band", "bucket").agg(
         F.collect_list(F.struct("vec_id", "embedding")).alias("_m")
     ).filter(F.size("_m").between(2, max_bucket))
-    pairs = (
+    # cosine computed IN the pair projection, then distinct over the
+    # scalar triple: a pair seen in k bands costs k cosines (k ≤ bands)
+    # but the dedup becomes a plain HashAggregate — deduping first would
+    # carry the embedding arrays through a SortAggregate(first(array))
+    # instead.
+    return (
         buckets.select(F.explode("_m").alias("a"), "_m")
         .select("a", F.explode("_m").alias("b"))
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.col("a.embedding").alias("emb_a"),
-            F.col("b.embedding").alias("emb_b"),
+            F.round(
+                _cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("cosine"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            F.round(_cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
-        )
+        .distinct()
         .filter(F.col("cosine") >= threshold)
     )
 

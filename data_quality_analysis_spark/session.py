@@ -63,6 +63,18 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
+        # InferFiltersFromGenerate injects `size(e) > 0` filters under
+        # explode/posexplode. When `e` is a pandas-UDF output the filter
+        # re-evaluates the UDF in a SECOND ArrowEvalPython stage (full
+        # extra matmul + Arrow round-trip for the LSH banding — measured
+        # 2 Python stages instead of 1 on near_dup_pairs). Our generator
+        # inputs are never empty (fixed-width band arrays) or are cheap
+        # JVM expressions, so the inferred filter only costs; plan shape
+        # is pytest-pinned (tests/test_plans.py).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Always use the serialized sort shuffle writer. The bypass-merge
         # writer (default for <=200 reduce partitions) creates one FILE
         # per reduce partition per map task — 128 tasks × 128 partitions

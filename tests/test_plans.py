@@ -132,3 +132,25 @@ def test_dim_join_broadcasts(spark):
     plan = _plan(m.queries()["op_broadcast_dim_join"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lsh_pair_generation_single_evaluation_no_self_join(spark):
+    """The near-dup pair generators must stay in the single-evaluation
+    collect-expand shape: Spark never shares work across self-join
+    inputs, so a join formulation would run the signature/fingerprint
+    subtree twice (the round-2 driver-measured 2.56s -> 6.47s
+    regression). Pin: NO join operator of any kind, exactly one shingle
+    window for MinHash, exactly one banding UDF for embedding LSH."""
+    from data_quality_analysis_spark.operators import dedup, similarity
+    from data_quality_analysis_spark.session import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    p1 = _plan(dedup.lsh_candidate_pairs(docs))
+    assert "Join" not in p1, "minhash pairs must not self-join"
+    assert p1.count("Window") == 1, "one shingle lead-window only"
+    p2 = _plan(dedup.simhash_pairs(docs))
+    assert "Join" not in p2, "simhash pairs must not self-join"
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    p3 = _plan(similarity.near_dup_pairs(emb))
+    assert "Join" not in p3, "embedding near-dup must not self-join"
+    assert p3.count("ArrowEvalPython") == 1, "banding UDF must run once"
