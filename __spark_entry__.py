@@ -195,8 +195,11 @@ def _qf_bucket_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → mapInPandas feature
-    extraction (decode stubbed; see operators/multimodal.py). Rows-only:
-    synthetic media table, no SQL equivalent for the Arrow-batch stage."""
+    extraction (decode stubbed; see operators/multimodal.py). Full
+    oracle: the payload is a pure function of media_id
+    (multimodal.payload_bytes), so oracles.media_features_oracle emits
+    the expected sha256/length rows as literals from the SAME formula —
+    the Arrow-binary mapInPandas path must reproduce them exactly."""
     from data_quality_analysis_spark.operators import multimodal
 
     media = multimodal.synthetic_media(spark, n=64)
@@ -740,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash_lsh": oracles.minhash_lsh_oracle(),
         "sim_lsh_topk": oracles.lsh_topk_oracle(),
+        "mm_media_features": oracles.media_features_oracle(),
         "sim_brute_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS query_vec
@@ -888,9 +892,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE viol_pixel_bounds OR viol_duration_bounds
                OR viol_mime_kind OR viol_empty_payload
         """,
-        # mm_media_features stays rows-only: the mapInPandas feature
-        # extraction over binary payloads has no SQL equivalent (payload
-        # sha of Spark-synthesized bytes); pytest-oracled instead. Every
-        # other query — including the MinHash and hyperplane-LSH
-        # internals — is fully SQL-re-derived above.
+        # Every query has an oracle entry: most are full SQL
+        # re-derivations; the ranking/catalog/media-features oracles emit
+        # literals computed by the SAME shared Python constants/formulas
+        # the Spark side uses, so the engines cannot drift silently.
     }

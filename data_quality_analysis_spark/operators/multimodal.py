@@ -51,6 +51,15 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def payload_bytes(i: int) -> bytes:
+    """The synthetic payload formula — sha256-stretched bytes of the
+    media_id. Shared by :func:`synthetic_media` and the driver oracle
+    (oracles.media_features_oracle emits its sha/length as literals), so
+    the two cannot drift."""
+    seed = hashlib.sha256(str(i).encode()).digest()
+    return (seed * (8 + i % 5))[: 64 + (i * 17) % 512]
+
+
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic fake media table: payload = sha256-stretched bytes of
     the media_id. Exercises binary-column partitioning and Arrow transfer
@@ -64,8 +73,7 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
     for i in range(n):
         kind = kinds[i % 3]
-        seed = hashlib.sha256(str(i).encode()).digest()
-        payload = (seed * (8 + i % 5))[: 64 + (i * 17) % 512]
+        payload = payload_bytes(i)
         width = 64 + i % 128 if kind != "audio" else None
         height = 48 + i % 96 if kind != "audio" else None
         duration = 1000 * (1 + i % 30) if kind != "image" else None

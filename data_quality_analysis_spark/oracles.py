@@ -774,3 +774,34 @@ FROM (SELECT *, row_number() OVER (
       FROM scored)
 WHERE rank <= {k}
 """
+
+
+def media_features_oracle(n: int = 64) -> str:
+    """mm_media_features oracle: the synthetic payload formula is a pure
+    function of media_id (multimodal.payload_bytes — shared code), so the
+    expected (media_id, kind, payload_sha, n_bytes) rows are emitted as
+    literals computed by that same function. This checks the REAL product
+    surface — the mapInPandas Arrow-binary batch path must reproduce the
+    formula's sha256 byte-for-byte — the same literal-emission pattern as
+    the ranking/catalog threshold oracles. (A pure-SQL re-derivation is
+    impossible: DuckDB's sha256 only accepts VARCHAR, and the payloads
+    are non-UTF-8 binary.)"""
+    import hashlib
+
+    from data_quality_analysis_spark.operators.multimodal import payload_bytes
+
+    kinds = ["image", "audio", "video"]
+    rows = ",\n  ".join(
+        "(CAST({i} AS BIGINT), '{kind}', '{sha}', CAST({nb} AS BIGINT))".format(
+            i=i,
+            kind=kinds[i % 3],
+            sha=hashlib.sha256(payload_bytes(i)).hexdigest(),
+            nb=len(payload_bytes(i)),
+        )
+        for i in range(n)
+    )
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + rows
+        + ") t(media_id, kind, payload_sha, n_bytes)"
+    )

@@ -54,5 +54,6 @@ def test_queries_and_oracles_are_consistent_sets(spark):
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(queries)
     rows_only = set(queries) - set(oracles)
-    # the genuinely non-SQL remainder, each pytest-oracled elsewhere
-    assert rows_only == {"mm_media_features"}
+    # every query is oracle-checked as of round 3 (mm_media_features via
+    # shared-formula literals; all hash internals via md5/integer schemes)
+    assert rows_only == set()

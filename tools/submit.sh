@@ -31,6 +31,8 @@ exec spark-submit \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.adaptive.skewJoin.enabled=true \
   --conf spark.sql.adaptive.coalescePartitions.minPartitionSize=64k \
+  --conf spark.shuffle.sort.bypassMergeThreshold=0 \
+  --conf spark.sql.optimizer.excludedRules=org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   --conf spark.sql.execution.arrow.maxRecordsPerBatch=10000 \
   --conf spark.sql.session.timeZone=UTC \
