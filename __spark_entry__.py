@@ -23,7 +23,13 @@ from data_quality_analysis_spark.fixtures import (
     PLANTED_EMBEDDINGS_SELECT as _PLANTED_EMB,
     SPIKED_EVENTS_SELECT as _SPIKED_EVENTS,
 )
-from data_quality_analysis_spark.operators import dedup, relational, similarity, text
+from data_quality_analysis_spark.operators import (
+    dedup,
+    relational,
+    sampling,
+    similarity,
+    text,
+)
 from data_quality_analysis_spark.pipeline import run_rules
 from data_quality_analysis_spark.rules.catalog import default_catalog
 from data_quality_analysis_spark.rules.verdict import rule_rates
@@ -295,6 +301,42 @@ def _qf_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report_query(spark, _qf_issue_lifecycle(spark, sf_dir), _REPORT_SQL)
 
 
+_JACCARD_SQL = r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(trim(regexp_replace(
+                       coalesce(text, ''), '\s+', ' ', 'g'))), ' '),
+                       x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    FOR i IN generate_series(1, len(toks) - 2)])
+                       AS shingles
+              FROM norm WHERE len(toks) >= 3),
+            allinv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+            dfreq AS (SELECT shingle FROM allinv
+                      GROUP BY shingle HAVING count(*) <= 100),
+            inv AS (SELECT a.doc_id, a.shingle
+                    FROM allinv a JOIN dfreq USING (shingle)),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                      FROM inv GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS n_inter
+              FROM inv a JOIN inv b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4)
+                     AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.7
+        """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus / quality-filter family
     "qf_corpus": _qf_corpus,
@@ -350,6 +392,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup.ngram_jaccard,
     "dedup_simhash": dedup.simhash_fingerprints,
     "dedup_simhash_pairs": dedup.simhash_near_pairs,
+    "dedup_clusters": dedup.dedup_clusters,
+    "sample_stratified": sampling.sample_stratified,
+    "text_decontaminate": text.decontaminate_documents,
     "sim_brute_topk": _sim_brute,
     "sim_lsh_topk": similarity.lsh_topk,
     "sim_embedding_near_dup": similarity.embedding_near_dup,
@@ -692,40 +737,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_langid": oracles.langid_documents_oracle(),
         "text_ngram_perplexity": oracles.ngram_perplexity_oracle(),
-        "dedup_ngram_jaccard": r"""
-            WITH norm AS (
-              SELECT doc_id,
-                     list_filter(string_split(lower(trim(regexp_replace(
-                       coalesce(text, ''), '\s+', ' ', 'g'))), ' '),
-                       x -> x <> '') AS toks
-              FROM documents),
-            sh AS (
-              SELECT doc_id,
-                     list_distinct([array_to_string(toks[i:i+2], ' ')
-                                    FOR i IN generate_series(1, len(toks) - 2)])
-                       AS shingles
-              FROM norm WHERE len(toks) >= 3),
-            allinv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-            dfreq AS (SELECT shingle FROM allinv
-                      GROUP BY shingle HAVING count(*) <= 100),
-            inv AS (SELECT a.doc_id, a.shingle
-                    FROM allinv a JOIN dfreq USING (shingle)),
-            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
-                      FROM inv GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     CAST(count(*) AS BIGINT) AS n_inter
-              FROM inv a JOIN inv b
-                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT doc_a, doc_b,
-                   round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4)
-                     AS jaccard
-            FROM inter
-            JOIN sizes sa ON doc_a = sa.doc_id
-            JOIN sizes sb ON doc_b = sb.doc_id
-            WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.7
-        """,
+        "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_keep_first": r"""
             WITH hashed AS (
               SELECT doc_id,
@@ -742,6 +754,56 @@ def oracle_sql() -> dict[str, str]:
             simhash_sql=_SIMHASH_SQL
         ),
         "dedup_minhash_lsh": oracles.minhash_lsh_oracle(),
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION
+              SELECT doc_b AS s, doc_a AS d FROM pairs),
+            reach(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+            SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+            FROM reach GROUP BY s
+        """,
+        "sample_stratified": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                ('0x' || substr(md5('s1|' || CAST(doc_id AS VARCHAR)),
+                  1, 15))::BIGINT % 10000 AS b1,
+                ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                  1, 15))::BIGINT % 10000 AS b2
+              FROM documents)
+            SELECT doc_id, lang, b2 < 2000 AS is_holdout
+            FROM b
+            WHERE b1 < CASE WHEN lang = 'en' THEN 1000
+                            WHEN lang = 'es' THEN 5000
+                            ELSE 10000 END
+        """,
+        "text_decontaminate": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(trim(regexp_replace(
+                       coalesce(text, ''), '\s+', ' ', 'g'))), ' '),
+                       x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       [array_to_string(toks[i:i+2], ' ')
+                        FOR i IN generate_series(1, len(toks) - 2)]))
+                       AS shingle
+              FROM norm WHERE len(toks) >= 3),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 0),
+            shared AS (
+              SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+              FROM sh s JOIN bench USING (shingle) GROUP BY s.doc_id)
+            SELECT d.doc_id,
+                   coalesce(n_shared, 0) AS n_shared,
+                   coalesce(n_shared, 0) >= 5 AS contaminated
+            FROM documents d LEFT JOIN shared USING (doc_id)
+        """,
         "sim_lsh_topk": oracles.lsh_topk_oracle(),
         "mm_media_features": oracles.media_features_oracle(),
         "sim_brute_topk": """

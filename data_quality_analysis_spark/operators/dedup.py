@@ -513,3 +513,83 @@ def corpus_top_hashes(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
         .orderBy(F.desc("n_files"), F.asc("content_sha"))
         .limit(k)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id,
+    cluster_id = min doc_id in the component). THE dedup finisher: LSH /
+    SimHash / Jaccard emit PAIRS, but "keep one per duplicate set" needs
+    the transitive closure (a~b, b~c ⇒ one cluster {a,b,c}).
+
+    Min-label propagation with pointer-jumping: each round every node
+    takes the min label over itself, its neighbors' labels, AND its
+    label's label (the doubling step — path lengths halve, so rounds are
+    O(log diameter), the same bound as the alternating-star CC algorithm
+    used at web scale). Each round is two hash joins + one aggregate on
+    (node, label) pairs — never materializing components as rows — and
+    ends with `localCheckpoint` to truncate the growing lineage (without
+    it the plan doubles per round and the driver, not the data, becomes
+    the bottleneck). Convergence is a driver-side O(1) count of changed
+    labels; near-dup graphs have tiny diameters so 2-4 rounds is
+    typical.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        via_edges = (
+            edges.join(labels, edges["d"] == labels["node"])
+            .select(F.col("s").alias("node"), "label")
+        )
+        lab2 = labels.select(
+            F.col("node").alias("_l"), F.col("label").alias("label")
+        )
+        via_jump = (
+            labels.select("node", F.col("label").alias("_l"))
+            .join(lab2, "_l")
+            .select("node", "label")
+        )
+        new_labels = (
+            labels.union(via_edges)
+            .union(via_jump)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: connected components over the exact n-gram-Jaccard
+    near-dup pairs (threshold 0.7). Full oracle: DuckDB recursive CTE
+    computes the transitive closure of the same pair set and labels each
+    node with the min reachable id. Singleton documents (no near-dup
+    edge) are excluded — they form no cluster."""
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return connected_components(pairs).orderBy("doc_id")

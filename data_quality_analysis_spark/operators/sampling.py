@@ -1,0 +1,94 @@
+"""Deterministic sampling operators — training-data pipeline staples.
+
+A web-scale corpus pipeline samples constantly (eval holdouts, per-lang
+mixture rebalancing, debug slices). `F.rand()` samples are neither
+reproducible across retries nor resumable, so everything here keys on a
+salted md5-60-bit hash of a stable key column: the same row lands on the
+same side of the cut in every run, on any cluster, and — because the
+hash is the DuckDB-reproducible conv(md5) trick — every sample is fully
+value-hash oracle-checkable. The reference's analog is the deterministic
+previous-cycle comparison corpus (it re-reads fixed CSV summaries,
+Library/DocumentationModules.R:179-206) — sampling there is "take the
+same rows every cycle", which is exactly what hash-bucketing gives.
+
+All operators are single narrow projections + filter — no shuffle, no
+RNG state, trivially pushed past column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark.session import load_table
+
+SAMPLE_BUCKETS = 10_000  # rate resolution: 0.01%
+
+
+def _bucket(key: Column, seed: str) -> Column:
+    """Stable bucket in [0, SAMPLE_BUCKETS): md5-60-bit of (seed, key),
+    mod buckets. Spark `conv(substr(md5(..),1,15),16,10)` ≡ DuckDB
+    `('0x'||substr(md5(..),1,15))::BIGINT` — the shared oracle trick."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % SAMPLE_BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str, seed: str = "s1"
+) -> DataFrame:
+    """Deterministic ``rate`` sample: keep rows whose salted key bucket
+    falls under rate·SAMPLE_BUCKETS. Changing ``seed`` draws an
+    independent sample; the same seed is stable across runs/retries."""
+    cut = int(round(rate * SAMPLE_BUCKETS))
+    return df.filter(_bucket(F.col(key_col), seed) < cut)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    key_col: str,
+    seed: str = "s1",
+) -> DataFrame:
+    """Per-stratum rates (e.g. downsample dominant languages, keep all
+    of rare ones) — the mixture-rebalancing primitive. The per-stratum
+    cut compiles to one chained ``F.when`` on the strata column; rows in
+    unlisted strata (including NULL) use ``default_rate``."""
+    cut = F.lit(int(round(default_rate * SAMPLE_BUCKETS)))
+    for value, rate in sorted(rates.items()):
+        cut = F.when(
+            F.col(strata_col) == value, int(round(rate * SAMPLE_BUCKETS))
+        ).otherwise(cut)
+    return df.filter(_bucket(F.col(key_col), seed) < cut)
+
+
+def split_train_holdout(
+    df: DataFrame, holdout_rate: float, key_col: str, seed: str = "split"
+) -> DataFrame:
+    """Disjoint split flag: ``is_holdout`` marks the holdout fraction;
+    the complement is the train side. One hash → exactly one side, so
+    the split is a partition of the corpus by construction (no row can
+    drift between sides across runs — the property RNG splits lack)."""
+    cut = int(round(holdout_rate * SAMPLE_BUCKETS))
+    return df.withColumn(
+        "is_holdout", _bucket(F.col(key_col), seed) < cut
+    )
+
+
+# ----------------------------------------------------- driver wrappers --
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-lang stratified sample of documents (en 10%,
+    es 50%, others 100%) + the holdout flag. Full oracle — the bucket
+    hash, cuts, and seeds re-derive exactly in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        d, "lang", {"en": 0.10, "es": 0.50}, 1.0, key_col="doc_id"
+    )
+    return split_train_holdout(sampled, 0.2, key_col="doc_id").select(
+        "doc_id", "lang", "is_holdout"
+    )

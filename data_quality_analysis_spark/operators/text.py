@@ -93,3 +93,51 @@ def langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_s.detected_lang") != F.col("lang")).alias("mismatch"),
         )
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 3,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination — the train/test-overlap check every
+    LLM data pipeline needs: flag corpus documents sharing at least
+    ``min_overlap`` distinct word n-grams with ANY benchmark document.
+
+    Shape: shingle both sides (set semantics), inner-join on the shingle
+    — the benchmark side is tiny relative to the corpus and its distinct
+    shingle set is broadcast, so the corpus is scanned once with a map-
+    side hash join; the per-doc overlap count is a map-side-combinable
+    aggregate. No all-pairs comparison anywhere: a document that shares
+    nothing with the benchmark never leaves its partition.
+
+    Returns (doc_id, n_shared, contaminated)."""
+    from data_quality_analysis_spark.operators.dedup import shingle_rows
+
+    doc_sh = shingle_rows(df, n=shingle_n)
+    bench_sh = (
+        shingle_rows(benchmark, n=shingle_n)
+        .select("shingle")
+        .distinct()
+    )
+    shared = doc_sh.join(F.broadcast(bench_sh), "shingle").groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("n_shared"))
+    return df.select("doc_id").join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        (F.coalesce(F.col("n_shared"), F.lit(0)) >= min_overlap).alias(
+            "contaminated"
+        ),
+    )
+
+
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: documents vs a deterministic pseudo-benchmark (every
+    101st document plays the held-out eval set — documents in that slice
+    trivially self-contaminate, which guarantees the check fires).
+    Full oracle: shingles + broadcast-join + count re-derive in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter((F.col("doc_id") % 101) == 0)
+    return decontaminate(d, bench)

@@ -1,0 +1,120 @@
+"""Training-data pipeline extras: CC dedup clusters, deterministic
+sampling, benchmark decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark.operators import dedup, sampling, text
+from tests.conftest import SF_SMOKE
+
+
+def test_connected_components_toy_graph(spark):
+    """Chain a-b-c is ONE cluster labelled min(a); disjoint pair d-e is
+    another; a 12-node path converges (pointer jumping halves path
+    lengths — well within max_iter) with every node labelled 0."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(chain).collect()
+    }
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_connected_components_matches_python_union_find(spark):
+    """CC over the real sf0.001 jaccard pairs equals a pure-Python
+    union-find on the same collected edge list."""
+    pairs_df = dedup.ngram_jaccard_pairs(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs_df.collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expect = {x: find(x) for x in parent}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs_df).collect()
+    }
+    assert got == expect and got
+
+
+def test_hash_sampling_deterministic_and_disjoint(spark):
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    s1 = {r["doc_id"] for r in sampling.hash_sample(d, 0.3, "doc_id").select("doc_id").collect()}
+    s2 = {r["doc_id"] for r in sampling.hash_sample(d, 0.3, "doc_id").select("doc_id").collect()}
+    assert s1 == s2 and s1  # reproducible, non-empty
+    n = d.count()
+    assert 0.15 * n < len(s1) < 0.45 * n  # rate in the right ballpark
+    # independent seed draws a different (overlapping-but-not-equal) set
+    s3 = {r["doc_id"] for r in sampling.hash_sample(d, 0.3, "doc_id", seed="other").select("doc_id").collect()}
+    assert s3 != s1
+    # split is a partition: holdout + train = all, disjoint by construction
+    split = sampling.split_train_holdout(d, 0.2, "doc_id")
+    hold = split.filter("is_holdout").count()
+    train = split.filter("NOT is_holdout").count()
+    assert hold + train == n and hold > 0 and train > 0
+
+
+def test_stratified_sample_rates_per_stratum(spark):
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = sampling.stratified_sample(
+        d, "lang", {"en": 0.0, "es": 1.0}, 0.5, key_col="doc_id"
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    base = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert "en" not in by_lang            # rate 0 drops the stratum
+    assert by_lang["es"] == base["es"]    # rate 1 keeps it whole
+    others = {k for k in base if k not in ("en", "es")}
+    kept = sum(by_lang.get(k, 0) for k in others)
+    total = sum(base[k] for k in others)
+    assert 0.3 * total < kept < 0.7 * total
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the secret benchmark passage about spark internals today"),
+            (2, "the secret benchmark passage about spark internals today "
+                "plus extra trailing words"),          # contains benchmark
+            (3, "completely unrelated text with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 1")
+    got = {
+        r["doc_id"]: (r["n_shared"], r["contaminated"])
+        for r in text.decontaminate(docs, bench, min_overlap=5).collect()
+    }
+    assert got[1][1] and got[2][1]        # benchmark + superset flagged
+    assert got[3] == (0, False)           # clean doc untouched
+    assert got[2][0] >= 5
