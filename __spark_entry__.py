@@ -395,6 +395,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": dedup.dedup_clusters,
     "sample_stratified": sampling.sample_stratified,
     "text_decontaminate": text.decontaminate_documents,
+    "text_repetition": text.repetition_documents,
+    "text_pack_bins": text.pack_documents,
     "sim_brute_topk": _sim_brute,
     "sim_lsh_topk": similarity.lsh_topk,
     "sim_embedding_near_dup": similarity.embedding_near_dup,
@@ -780,6 +782,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE b1 < CASE WHEN lang = 'en' THEN 1000
                             WHEN lang = 'es' THEN 5000
                             ELSE 10000 END
+        """,
+        "text_repetition": r"""
+            WITH lines AS (
+              SELECT doc_id, unnest(string_split(coalesce(text, ''),
+                     chr(10))) AS line
+              FROM documents),
+            nb AS (SELECT doc_id, line FROM lines WHERE trim(line) <> ''),
+            per_line AS (
+              SELECT doc_id, line, CAST(count(*) AS BIGINT) AS c
+              FROM nb GROUP BY doc_id, line)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_lines,
+                   CAST(count(*) AS BIGINT) AS n_distinct_lines,
+                   round(1.0 - count(*) * 1.0 / sum(c), 4) AS dup_line_ratio,
+                   round(max(c) * 1.0 / sum(c), 4) AS max_line_share,
+                   (1.0 - count(*) * 1.0 / sum(c)) > 0.3 AS viol_repetition
+            FROM per_line GROUP BY doc_id
+        """,
+        "text_pack_bins": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(regexp_split_to_array(
+                       coalesce(text, ''), '\s+'), x -> x <> ''))
+                       AS INT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(floor((cum - n_tokens) * 1.0 / 2048) AS BIGINT)
+                     AS bin
+            FROM c
         """,
         "text_decontaminate": r"""
             WITH norm AS (

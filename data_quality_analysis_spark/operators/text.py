@@ -8,7 +8,7 @@ is the model scoring in rules/scoring.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_quality_analysis_spark.session import load_table
@@ -141,3 +141,98 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter((F.col("doc_id") % 101) == 0)
     return decontaminate(d, bench)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition — a standard corpus quality signal
+    (boilerplate/log files repeat lines): per doc, the duplicate-line
+    ratio and the hottest line's share. Two map-side-combinable
+    aggregates over exploded non-blank lines; no window, no Python.
+
+    Returns (doc_id, n_lines, n_distinct_lines, dup_line_ratio,
+    max_line_share, viol_repetition)."""
+    lines = df.select(
+        "doc_id",
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)).alias(
+            "line"
+        ),
+    ).filter(F.trim(F.col("line")) != "")
+    per_line = lines.groupBy("doc_id", "line").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_line.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_distinct_lines"),
+        F.round(1.0 - F.count(F.lit(1)) / F.sum("c"), 4).alias(
+            "dup_line_ratio"
+        ),
+        F.round(F.max("c") / F.sum("c"), 4).alias("max_line_share"),
+        ((1.0 - F.count(F.lit(1)) / F.sum("c")) > 0.3).alias(
+            "viol_repetition"
+        ),
+    )
+
+
+def repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: repetition stats over documents (full oracle)."""
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def pack_bins(
+    df: DataFrame,
+    budget: int = 2048,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Token-budget bin packing — assign each document to a context-
+    window bin by prefix-sum division: bin = floor(tokens_before / budget)
+    in deterministic ``key_col`` order. The assembly step every training
+    pipeline runs before writing packed sequences.
+
+    SCALABLE GLOBAL CUMSUM (no single-partition global window): range-
+    repartition by key, per-partition token totals collected to the
+    driver (O(n_parts) rows), per-partition start offsets broadcast back
+    as a literal CASE, then the running sum is a per-partition window —
+    the classic two-pass distributed prefix sum. A naive
+    ``Window.orderBy(key)`` with no partitioning funnels the corpus
+    through ONE task; this shape keeps every pass fully parallel."""
+    toks = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+", -1),
+            lambda x: x != "",
+        )
+    )
+    base = (
+        df.select(F.col(key_col).alias("_key"), toks.alias("n_tokens"))
+        .repartitionByRange(n_parts, "_key")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    base = base.localCheckpoint()  # pin partitioning for both passes
+    totals = {
+        r["_pid"]: r["t"]
+        for r in base.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off = F.lit(0)
+    for pid, start in sorted(offsets.items()):
+        off = F.when(F.col("_pid") == pid, F.lit(start)).otherwise(off)
+    w = Window.partitionBy("_pid").orderBy("_key")
+    cum = off + F.sum("n_tokens").over(w)
+    return base.select(
+        F.col("_key").alias(key_col),
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget).alias("bin"),
+    )
+
+
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: 2048-token bin assignment over documents. Full
+    oracle: DuckDB recomputes the same prefix-sum division with one
+    global window (fine at oracle scale; the Spark side uses the
+    distributed two-pass shape)."""
+    return pack_bins(load_table(spark, sf_dir, "documents"))

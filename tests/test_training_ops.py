@@ -118,3 +118,51 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert got[1][1] and got[2][1]        # benchmark + superset flagged
     assert got[3] == (0, False)           # clean doc untouched
     assert got[2][0] >= 5
+
+
+def test_repetition_stats_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a\na\na\na\nb"),        # 5 lines, 2 distinct → ratio 0.6
+            (2, "x\ny\nz"),              # all distinct → ratio 0
+            (3, "only\n\n  \nlines"),    # blanks dropped → 2 lines
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+    assert got[1]["n_lines"] == 5 and got[1]["n_distinct_lines"] == 2
+    assert got[1]["dup_line_ratio"] == 0.6 and got[1]["viol_repetition"]
+    assert got[1]["max_line_share"] == 0.8
+    assert got[2]["dup_line_ratio"] == 0.0 and not got[2]["viol_repetition"]
+    assert got[3]["n_lines"] == 2
+
+
+def test_pack_bins_partition_invariant_and_budgeted(spark):
+    """The two-pass distributed prefix sum must equal the naive global
+    cumsum regardless of partition count, and every bin except possibly
+    the last must reach the budget once the next doc starts a new bin."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = {r["doc_id"]: r["bin"] for r in text.pack_bins(d, n_parts=3).collect()}
+    b = {r["doc_id"]: r["bin"] for r in text.pack_bins(d, n_parts=32).collect()}
+    assert a == b and a
+    # reference: python cumsum in doc_id order
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in d.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+", -1),
+                    lambda x: x != "",
+                )
+            ).alias("n"),
+        ).collect()
+    }
+    cum = 0
+    expect = {}
+    for k in sorted(toks):
+        expect[k] = cum // 2048
+        cum += toks[k]
+    assert a == expect
+    # bins are contiguous 0..max
+    assert set(a.values()) == set(range(max(a.values()) + 1))
