@@ -9,7 +9,8 @@ value-hash-checked against the DuckDB oracle with zero dialect drift.
 Planted violation classes mirror the reference's check catalog
 (/root/reference/Data/DQACatalog/DQA_Check_Type_Inventory.csv:2-38; see
 FIXTURES.md §1): empty content (BA-001 analog, Library/MissData.R:16-38),
-over-long lines (CA-011 analog, Library/NumOutlier.R:16-38), corpus-wide
+over-long lines (CA-011 analog, Library/NumOutlier.R:16-38), repeated-line
+blocks (the north rule's repetition-detection target), corpus-wide
 duplicate/boilerplate blocks (AA-003/CB-002 analogs, Library/InconPK.R,
 Library/UnexTop.R), PII spans (emails/IPv4/API keys/blocklist words — the
 scrub stage's targets), and missing declared language (BA-002 analog,
@@ -54,6 +55,8 @@ SELECT
                               substr(md5('k' || CAST(doc_id AS STRING)), 1, 24)
                               || '"'
     WHEN doc_id % 23 = 4 THEN text || ' badword1 ' || text
+    WHEN doc_id % 83 = 6 THEN repeat('build log: step retried' || chr(10), 9)
+                              || substr(text, 1, 40)
     ELSE text
   END                                                              AS content
 FROM documents

@@ -118,6 +118,10 @@ def evaluate(rows: list[dict]) -> list[OracleRow]:
             viol.append("too_small")
         if n_chars > b["max_chars"]:
             viol.append("too_large")
+        nb = [x for x in lines if x.strip(" ") != ""]
+        if (not blank and len(nb) >= b["min_lines_for_rep"]
+                and 1.0 - len(set(nb)) / len(nb) > b["max_dup_line_ratio"]):
+            viol.append("repetition")
         if not blank and sha_counts[sha] > 1:
             viol.append("exact_duplicate")
         if any(content.startswith(p) for p in BOILERPLATE_PREFIXES):
@@ -142,7 +146,8 @@ def evaluate(rows: list[dict]) -> list[OracleRow]:
 
         dropping = {
             "empty_content", "max_line_len", "mean_line_len", "alnum_ratio",
-            "too_small", "too_large", "exact_duplicate", "boilerplate",
+            "too_small", "too_large", "repetition", "exact_duplicate",
+            "boilerplate",
             "perplexity_band", "blocklist_word",
         }
         keep = not any(v in dropping for v in viol)

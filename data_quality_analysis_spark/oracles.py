@@ -36,7 +36,11 @@ SELECT repo, path, commit, lang, content,
                   * 1.0 / length(content), 4)
        ELSE 0.0 END AS alnum_ratio,
   sha256(content) AS content_sha,
-  length(trim(content)) = 0 AS is_blank
+  length(trim(content)) = 0 AS is_blank,
+  len(list_filter(string_split(content, chr(10)), x -> trim(x) <> ''))
+    AS n_nb_lines,
+  len(list_distinct(list_filter(string_split(content, chr(10)),
+    x -> trim(x) <> ''))) AS n_distinct_lines
 FROM corpus
 """
 
@@ -48,6 +52,11 @@ FLAGS_EXPRS = {
     "viol_alnum_ratio": f"(NOT is_blank) AND alnum_ratio < {_B['min_alnum_ratio']}",
     "viol_too_small": f"(NOT is_blank) AND n_chars < {_B['min_chars']}",
     "viol_too_large": f"n_chars > {_B['max_chars']}",
+    "viol_repetition": (
+        f"(NOT is_blank) AND n_nb_lines >= {_B['min_lines_for_rep']} AND "
+        f"(1.0 - n_distinct_lines * 1.0 / n_nb_lines)"
+        f" > {_B['max_dup_line_ratio']}"
+    ),
     "viol_boilerplate": "content LIKE 'MIT License boilerplate block%'",
     "viol_lang_missing": "lang IS NULL",
     "viol_exact_duplicate": (
@@ -455,6 +464,7 @@ DROPPING_FLAGS = [
     "viol_alnum_ratio",
     "viol_too_small",
     "viol_too_large",
+    "viol_repetition",
     "viol_exact_duplicate",
     "viol_boilerplate",
 ]

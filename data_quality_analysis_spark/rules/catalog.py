@@ -57,6 +57,8 @@ BOUNDS = {
     "min_alnum_ratio": 0.25,
     "min_chars": 10,
     "max_chars": 200_000,
+    "max_dup_line_ratio": 0.5,  # repetition rule (north rule: repetition detection)
+    "min_lines_for_rep": 5,  # repetition needs enough lines to be meaningful
     "perplexity_lo": 2.0,
     "perplexity_hi": 64.0,
     "langid_min_hits": 2,  # stopword hits below this → 'unknown'
@@ -88,6 +90,10 @@ def default_catalog() -> "RuleCatalog":
         Rule("QF-CA-011e", "too_large",
              f"content > {BOUNDS['max_chars']} chars", True, upper=2.0,
              ref="Library/NumOutlier.R:16-38"),
+        Rule("QF-CA-012", "repetition",
+             f"duplicate-line ratio > {BOUNDS['max_dup_line_ratio']} over >= "
+             f"{BOUNDS['min_lines_for_rep']} non-blank lines", True, upper=5.0,
+             ref="north rule repetition detection; Library/UnexTop.R top-rep analog"),
         Rule("QF-AA-003", "exact_duplicate",
              "content sha256 duplicated under a different (repo,path,commit)",
              True, upper=10.0, ref="Library/InconPK.R:16-42"),

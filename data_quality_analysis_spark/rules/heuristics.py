@@ -39,6 +39,7 @@ def with_content_stats(df: DataFrame, content: str = "content") -> DataFrame:
     n_chars = F.length(c)
     n_lines = F.size(lines)
     alnum = n_chars - F.length(F.translate(c, ALNUM_CHARS, ""))
+    nb_lines = F.filter(lines, lambda x: F.trim(x) != "")
     return df.select(
         "*",
         n_chars.alias("n_chars"),
@@ -54,6 +55,8 @@ def with_content_stats(df: DataFrame, content: str = "content") -> DataFrame:
         .alias("alnum_ratio"),
         F.sha2(c, 256).alias("content_sha"),
         (F.length(F.trim(c)) == 0).alias("is_blank"),
+        F.size(nb_lines).alias("n_nb_lines"),
+        F.size(F.array_distinct(nb_lines)).alias("n_distinct_lines"),
     )
 
 
@@ -82,6 +85,12 @@ def with_heuristic_flags(df: DataFrame, catalog: RuleCatalog) -> DataFrame:
         & (F.col("alnum_ratio") < b["min_alnum_ratio"]),
         "viol_too_small": ~F.col("is_blank") & (F.col("n_chars") < b["min_chars"]),
         "viol_too_large": F.col("n_chars") > b["max_chars"],
+        "viol_repetition": ~F.col("is_blank")
+        & (F.col("n_nb_lines") >= b["min_lines_for_rep"])
+        & (
+            1.0 - F.col("n_distinct_lines") / F.col("n_nb_lines")
+            > b["max_dup_line_ratio"]
+        ),
         "viol_boilerplate": boiler,
         "viol_lang_missing": F.col("lang").isNull(),
     }

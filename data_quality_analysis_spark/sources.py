@@ -42,6 +42,12 @@ _CSV_OPTS = {
     "quote": '"',
     "escape": '"',
     "nullValue": CSV_NULL_SENTINEL,
+    # the WRITER's whitespace trimming defaults to true — it silently
+    # strips leading/trailing spaces from values (caught by the
+    # round-trip test on content ending in a space). Readers default to
+    # false; pin both sides off for byte-faithful round-trips.
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
 }
 
 
