@@ -73,3 +73,111 @@ def secondary_report(
         F.lit(None).cast("string").alias("github_id"),
         F.lit(METHOD).alias("method"),
     )
+
+
+# ------------------------------------------- legacy report file reader --
+# The reference reads four generations of secondary-report CSV headers,
+# detecting the version from which columns are present and normalizing
+# old files to the current shape (results/file.go:46-127 headers,
+# :171-239 ParseFileHeader: `check_alias`→v4, `method`→v3, `github_id`→
+# v2, else v1; `issue_code`≡`check_code`, `issue_description`≡
+# `check_type`, `githubid`≡`github_id`; unknown column = error).
+
+_REPORT_COLS_V4 = [
+    "model", "model_version", "data_version", "dqa_version", "table_name",
+    "field", "check_code", "check_alias", "check_type", "finding",
+    "prevalence", "rank", "cause", "status", "github_id", "method",
+]
+
+_COL_ALIASES = {
+    "model": "model",
+    "model_version": "model_version",
+    "data_version": "data_version",
+    "dqa_version": "dqa_version",
+    "table": "table_name",
+    "field": "field",
+    "goal": "goal",
+    "check_code": "check_code",
+    "issue_code": "check_code",
+    "check_alias": "check_alias",
+    "check_type": "check_type",
+    "issue_description": "check_type",
+    "finding": "finding",
+    "prevalence": "prevalence",
+    "rank": "rank",
+    "site_response": "site_response",
+    "cause": "cause",
+    "status": "status",
+    "reviewer": "reviewer",
+    "github_id": "github_id",
+    "githubid": "github_id",
+    "method": "method",
+}
+
+
+def _normalize_col(name: str) -> str:
+    return name.strip().lower().replace(" ", "_")
+
+
+def detect_report_version(columns: list[str]) -> int:
+    """Version from column presence, exactly like ParseFileHeader
+    (results/file.go:177-239). Raises on unknown columns."""
+    version = 1
+    for c in columns:
+        n = _normalize_col(c)
+        if n not in _COL_ALIASES:
+            raise ValueError(f"invalid column: {c}")
+        if n == "check_alias":
+            version = max(version, 4)
+        elif n == "method":
+            version = max(version, 3)
+        elif n in ("github_id", "githubid"):
+            version = max(version, 2)
+    return version
+
+
+def read_secondary_report(spark, path: str) -> DataFrame:
+    """Read a secondary-report CSV of ANY file version and normalize to
+    the FileVersion4 16-column shape (+ ``file_version``): legacy
+    goal/site_response/reviewer columns are dropped (the reference drops
+    them in v3+), absent columns become NULL, aliased headers map to
+    their current names. One scan; pure projection."""
+    df = spark.read.option("header", "true").csv(path)
+    version = detect_report_version(df.columns)
+    mapped = df.select(
+        *[
+            F.col(f"`{c}`").alias(_COL_ALIASES[_normalize_col(c)])
+            for c in df.columns
+            if _COL_ALIASES[_normalize_col(c)]
+            not in ("goal", "site_response", "reviewer")
+        ]
+    )
+    out = mapped.select(
+        *[
+            (F.col(c) if c in mapped.columns else F.lit(None).cast("string")).alias(c)
+            for c in _REPORT_COLS_V4
+        ],
+        F.lit(version).alias("file_version"),
+    )
+    return out
+
+
+# internal name → the reference's display header (file.go:107-122)
+_V4_HEADERS = [
+    ("model", "Model"), ("model_version", "Model Version"),
+    ("data_version", "Data Version"), ("dqa_version", "DQA Version"),
+    ("table_name", "Table"), ("field", "Field"),
+    ("check_code", "Check Code"), ("check_alias", "Check Alias"),
+    ("check_type", "Check Type"), ("finding", "Finding"),
+    ("prevalence", "Prevalence"), ("rank", "Rank"), ("cause", "Cause"),
+    ("status", "Status"), ("github_id", "Github ID"), ("method", "Method"),
+]
+
+
+def write_secondary_report(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write the composed report in the current (FileVersion4) CSV shape
+    with the reference's exact display headers — a file the reference's
+    Go CLI would parse as FileVersion4."""
+    df.select(
+        *[F.col(c).alias(h) for c, h in _V4_HEADERS]
+    ).write.mode(mode).option("header", "true").csv(path)

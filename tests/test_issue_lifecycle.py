@@ -302,3 +302,72 @@ def test_per_code_resolver_branches(spark):
     # resolved/new lifecycle rows are never touched by per-code branches
     only_cur = reconcile(cur, _issues(spark, [])).collect()
     assert all(r["status"] == "new" for r in only_cur)
+
+
+def test_read_secondary_report_all_file_versions(spark, tmp_path):
+    """Golden files in each of the reference's four header generations
+    (results/file.go:46-127) all normalize to the FileVersion4 shape:
+    version detected from column presence, issue_code→check_code,
+    issue_description→check_type, legacy goal/site_response/reviewer
+    dropped, absent columns NULL."""
+    from data_quality_analysis_spark.rules.report import (
+        detect_report_version,
+        read_secondary_report,
+        write_secondary_report,
+    )
+
+    v1 = ("Model,Model Version,Data Version,DQA Version,Table,Field,Goal,"
+          "Issue Code,Issue Description,Finding,Prevalence,Rank,"
+          "Site Response,Cause,Status,Reviewer\n"
+          "qf,1.0,r1,0.1,corpus,content,g,QF-BA-001,desc,f1,low,High,sr,c,"
+          "persistent,rev\n")
+    v2 = v1.replace(",Reviewer\n", ",Reviewer,Github ID\n").replace(
+        ",rev\n", ",rev,42\n")
+    v3 = ("Model,Model Version,Data Version,DQA Version,Table,Field,"
+          "Check Code,Check Type,Finding,Prevalence,Rank,Cause,Status,"
+          "Github ID,Method\n"
+          "qf,1.0,r1,0.1,corpus,content,QF-BA-001,BA,f1,low,High,c,"
+          "persistent,42,automated\n")
+    v4 = ("Model,Model Version,Data Version,DQA Version,Table,Field,"
+          "Check Code,Check Alias,Check Type,Finding,Prevalence,Rank,"
+          "Cause,Status,Github ID,Method\n"
+          "qf,1.0,r1,0.1,corpus,content,QF-BA-001,empty_content,BA,f1,low,"
+          "High,c,persistent,42,automated\n")
+    expects = {
+        1: {"check_code": "QF-BA-001", "check_type": "desc",
+            "check_alias": None, "github_id": None, "method": None},
+        2: {"check_code": "QF-BA-001", "check_type": "desc",
+            "check_alias": None, "github_id": "42", "method": None},
+        3: {"check_code": "QF-BA-001", "check_type": "BA",
+            "check_alias": None, "github_id": "42", "method": "automated"},
+        4: {"check_code": "QF-BA-001", "check_type": "BA",
+            "check_alias": "empty_content", "github_id": "42",
+            "method": "automated"},
+    }
+    for version, text_csv in ((1, v1), (2, v2), (3, v3), (4, v4)):
+        d = tmp_path / f"v{version}"
+        d.mkdir()
+        (d / "report.csv").write_text(text_csv)
+        got = read_secondary_report(spark, str(d)).collect()
+        assert len(got) == 1
+        row = got[0]
+        assert row["file_version"] == version
+        for k, v in expects[version].items():
+            assert row[k] == v, (version, k, row[k])
+        assert row["model"] == "qf" and row["table_name"] == "corpus"
+    # unknown column = error, like the reference
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid column"):
+        detect_report_version(["Model", "Mystery Column"])
+    # round-trip: write the real composed report, read it back as v4
+    prev = _issues(spark, [_row(version="r1")])
+    cur = _issues(spark, [_row(version="r2")])
+    from data_quality_analysis_spark.rules.report import secondary_report
+
+    rep = secondary_report(cur, prev)
+    out = tmp_path / "rt"
+    write_secondary_report(rep, str(out))
+    back = read_secondary_report(spark, str(out))
+    assert back.collect()[0]["file_version"] == 4
+    assert back.count() == rep.count()
