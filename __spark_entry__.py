@@ -396,6 +396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": sampling.sample_stratified,
     "text_decontaminate": text.decontaminate_documents,
     "text_repetition": text.repetition_documents,
+    "text_vocab_topk": text.vocab_topk_documents,
     "text_pack_bins": text.pack_documents,
     "sim_brute_topk": _sim_brute,
     "sim_lsh_topk": similarity.lsh_topk,
@@ -782,6 +783,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE b1 < CASE WHEN lang = 'en' THEN 1000
                             WHEN lang = 'es' THEN 5000
                             ELSE 10000 END
+        """,
+        "text_vocab_topk": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+'), x -> x <> ''))
+                       AS token
+              FROM documents)
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM toks GROUP BY token
+            ORDER BY n_occurrences DESC, token ASC LIMIT 50
         """,
         "text_repetition": r"""
             WITH lines AS (

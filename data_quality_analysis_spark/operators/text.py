@@ -236,3 +236,38 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window (fine at oracle scale; the Spark side uses the
     distributed two-pass shape)."""
     return pack_bins(load_table(spark, sf_dir, "documents"))
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary head: global token frequencies + document
+    frequencies, top-k by count. One explode → one map-side-combinable
+    aggregate → TakeOrdered(k) — no global sort; the shuffle carries
+    (token, partial counts), never documents. Ties break on the token
+    for determinism."""
+    toks = df.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", -1
+                ),
+                lambda x: x != "",
+            )
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: top-50 tokens over documents (full oracle)."""
+    return vocab_topk(load_table(spark, sf_dir, "documents"))
