@@ -393,6 +393,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup.simhash_fingerprints,
     "dedup_simhash_pairs": dedup.simhash_near_pairs,
     "dedup_clusters": dedup.dedup_clusters,
+    "dedup_hot_buckets": dedup.hot_minhash_report,
+    "dedup_hot_shingles": dedup.hot_shingles_report,
     "sample_stratified": sampling.sample_stratified,
     "text_decontaminate": text.decontaminate_documents,
     "text_repetition": text.repetition_documents,
@@ -757,6 +759,8 @@ def oracle_sql() -> dict[str, str]:
             simhash_sql=_SIMHASH_SQL
         ),
         "dedup_minhash_lsh": oracles.minhash_lsh_oracle(),
+        "dedup_hot_buckets": oracles.hot_minhash_oracle(),
+        "dedup_hot_shingles": oracles.hot_shingles_oracle(),
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
             edges AS (

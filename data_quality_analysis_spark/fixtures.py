@@ -82,3 +82,26 @@ def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embeddings"
     )
     return spark.sql(PLANTED_EMBEDDINGS_SELECT)
+
+
+# Exact-clone cluster for the "no silent caps" reporters: 60 extra copies
+# of doc 7's text under fresh ids. Every MinHash band then holds one
+# bucket of 61+ identical signatures (> the query's max_bucket=50) and
+# doc 7's trigrams hit document frequency 61 (> the query's max_df=20) —
+# so hot_minhash_buckets / hot_shingles provably return rows, and both
+# are exactly re-derivable in DuckDB (md5 band buckets, plain df counts).
+PLANTED_CLONES_SELECT = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT 20000000 + doc_id AS doc_id,
+       (SELECT text FROM documents WHERE doc_id = 7) AS text
+FROM documents WHERE doc_id < 60
+"""
+
+
+def planted_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with a planted 61-strong exact-clone cluster."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(PLANTED_CLONES_SELECT)

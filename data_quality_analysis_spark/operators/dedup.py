@@ -593,3 +593,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge) are excluded — they form no cluster."""
     pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
     return connected_components(pairs).orderBy("doc_id")
+
+
+def hot_minhash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for the cap reporter: (band, bucket, n) the
+    max_bucket=50 cap would drop, over the planted clone-cluster fixture
+    (fixtures.PLANTED_CLONES_SELECT — a 61-strong exact-dup cluster puts
+    one over-cap bucket in every band). Full oracle: md5 band buckets
+    re-derive in SQL. This makes the "no silent caps" discipline itself
+    driver-checked, not just pytest-checked."""
+    from data_quality_analysis_spark.fixtures import planted_clones
+
+    return hot_minhash_buckets(
+        planted_clones(spark, sf_dir), max_bucket=50
+    ).orderBy("band", "bucket")
+
+
+def hot_shingles_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for the df-cap reporter: shingles with document
+    frequency above max_df=20 over the planted clone cluster (doc 7's
+    trigrams reach df=61). Full oracle."""
+    from data_quality_analysis_spark.fixtures import planted_clones
+
+    return hot_shingles(planted_clones(spark, sf_dir), max_df=20).orderBy(
+        "shingle"
+    )

@@ -518,18 +518,12 @@ FROM flags f JOIN perp p
     )
 
 
-def minhash_lsh_oracle(
-    n_hashes: int = 32,
-    bands: int = 8,
-    shingle_n: int = 3,
-    max_bucket: int = 1_000,
+def _minhash_banded_prefix(
+    source_sql: str, n_hashes: int, bands: int, shingle_n: int
 ) -> str:
-    """Full SQL re-derivation of dedup.lsh_candidate_pairs: the same
-    md5-60-bit base hash, the same (a_i, b_i) universal-hash family
-    (minhash_params is shared, so the literals cannot drift), the same
-    md5 band buckets, the same >=2/<=max_bucket cap, the same pair
-    expansion. Every integer op is exact in both engines (products stay
-    under 2^62)."""
+    """WITH-prefix producing the `banded` (doc_id, band, bucket) relation
+    from a (doc_id, text) source — shared by the pair oracle and the
+    hot-bucket reporter oracle; constants from dedup.minhash_params."""
     from data_quality_analysis_spark.operators.dedup import (
         MINHASH_P,
         minhash_params,
@@ -550,11 +544,12 @@ def minhash_lsh_oracle(
     )
     hi = shingle_n - 1
     return rf"""
-WITH norm AS (
+WITH docs AS ({source_sql}),
+norm AS (
   SELECT doc_id,
          list_filter(string_split(lower(trim(regexp_replace(
            coalesce(text, ''), '\s+', ' ', 'g'))), ' '), x -> x <> '') AS toks
-  FROM documents),
+  FROM docs),
 sh AS (
   SELECT doc_id,
          unnest([array_to_string(toks[i:i+{hi}], ' ')
@@ -568,7 +563,27 @@ sig AS (
          {seed_mins}
   FROM h GROUP BY doc_id),
 banded AS (
-  {band_selects}),
+  {band_selects})"""
+
+
+def minhash_lsh_oracle(
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1_000,
+) -> str:
+    """Full SQL re-derivation of dedup.lsh_candidate_pairs: the same
+    md5-60-bit base hash, the same (a_i, b_i) universal-hash family
+    (minhash_params is shared, so the literals cannot drift), the same
+    md5 band buckets, the same >=2/<=max_bucket cap, the same pair
+    expansion. Every integer op is exact in both engines (products stay
+    under 2^62)."""
+    prefix = _minhash_banded_prefix(
+        "SELECT doc_id, text FROM documents", n_hashes, bands, shingle_n
+    )
+    return (
+        prefix
+        + f""",
 counted AS (
   SELECT doc_id, band, bucket,
          count(*) OVER (PARTITION BY band, bucket) AS n
@@ -578,6 +593,51 @@ kept AS (SELECT doc_id, band, bucket FROM counted
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM kept a JOIN kept b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+    )
+
+
+def hot_minhash_oracle(
+    max_bucket: int = 50,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> str:
+    """dedup.hot_minhash_buckets over the planted clone cluster: buckets
+    the cap would drop, (band, bucket, n)."""
+    from data_quality_analysis_spark.fixtures import PLANTED_CLONES_SELECT
+
+    prefix = _minhash_banded_prefix(
+        PLANTED_CLONES_SELECT, n_hashes, bands, shingle_n
+    )
+    return (
+        prefix
+        + f"""
+SELECT band, bucket, CAST(count(*) AS BIGINT) AS n
+FROM banded GROUP BY band, bucket HAVING count(*) > {max_bucket}
+"""
+    )
+
+
+def hot_shingles_oracle(max_df: int = 20) -> str:
+    """dedup.hot_shingles over the planted clone cluster: shingles whose
+    document frequency exceeds the cap, (shingle, df)."""
+    from data_quality_analysis_spark.fixtures import PLANTED_CLONES_SELECT
+
+    return rf"""
+WITH docs AS ({PLANTED_CLONES_SELECT}),
+norm AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(
+           coalesce(text, ''), '\s+', ' ', 'g'))), ' '), x -> x <> '') AS toks
+  FROM docs),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                 FOR i IN generate_series(1, len(toks) - 2)])) AS shingle
+  FROM norm WHERE len(toks) >= 3)
+SELECT shingle, CAST(count(*) AS BIGINT) AS df
+FROM sh GROUP BY shingle HAVING count(*) > {max_df}
 """
 
 
