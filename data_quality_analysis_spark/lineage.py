@@ -10,7 +10,7 @@ UnexDiff checks built on it (/root/reference/Library/UnexDiff.R:16-39,
 Design (write-then-commit, exactly-once per bucket):
 
 - The corpus is split into ``n_buckets`` logical work partitions by
-  ``pmod(xxhash64(repo), n_buckets)`` — all files of a repo land in one
+  the md5-60-bit repo hash mod ``n_buckets`` — all files of a repo land in one
   bucket, so bucket outputs are self-contained.
 - Buckets are processed in batches; each batch is ONE Spark job that
   writes ``{out}/verdicts/bucket=<b>/`` via partitionBy (dynamic
@@ -70,7 +70,7 @@ def _manifest_path(out_dir: str) -> str:
 
 def _check_manifest(out_dir: str, n_buckets: int, data_version: str) -> None:
     """Resume safety: bucket markers only mean what the original run's
-    parameters say they mean — ``pmod(xxhash64(repo), n_buckets)`` with a
+    parameters say they mean — the repo-hash bucketing with a
     different ``n_buckets`` assigns files to different buckets, so
     resuming with changed parameters would silently skip or double-write.
     The manifest records them; a mismatch refuses loudly (round-1
