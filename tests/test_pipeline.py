@@ -308,3 +308,27 @@ def test_numeric_outlier_bounds_approx_matches_exact_within_rank_error(spark):
             assert e[c] == a[c], (g, c)
         lo, hi = bands[g]
         assert lo <= a["median_price"] <= hi, (g, a["median_price"], lo, hi)
+
+
+def test_catalog_legacy_list_json_still_loads():
+    """Round-1/2 catalog files were a bare rule LIST (no bounds doc);
+    catalog_from_json must still accept them, defaulting bounds."""
+    import json
+
+    from data_quality_analysis_spark.rules.catalog import (
+        BOUNDS,
+        catalog_from_json,
+        catalog_to_json,
+        default_catalog,
+    )
+
+    doc = json.loads(catalog_to_json(default_catalog()))
+    legacy = json.dumps(doc["rules"])  # strip to the old bare-list form
+    cat = catalog_from_json(legacy)
+    assert [r.code for r in cat] == [r.code for r in default_catalog()]
+    assert cat.bounds == BOUNDS
+    # scoped bounds_for: override wins, unknown scope falls back
+    r = cat.by_name["max_line_len"]
+    assert r.bounds_for("fr") == (None, 0.5)
+    assert r.bounds_for("en") == (None, 5.0)
+    assert r.bounds_for(None) == (None, 5.0)
