@@ -141,6 +141,19 @@ def _qf_scoped_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qf_next_cycle_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-cycle blank secondary report (the ``generate-templates
+    --copy-persistent`` analog, rules/report.generate_template): composed
+    current report → persistent/under-review rows carried forward with
+    refreshed version stamps. Full oracle: the lifecycle oracle wrapped in
+    the same filter + literal stamps."""
+    from data_quality_analysis_spark.rules.report import generate_template
+
+    return generate_template(
+        _qf_issue_lifecycle(spark, sf_dir), data_version="r3"
+    )
+
+
 def _qf_offender_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_analysis_spark.rules.verdict import rule_offender_samples
 
@@ -338,6 +351,26 @@ _JACCARD_SQL = r"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # Dict ORDER is part of the driver contract: the driver's correctness
+    # gate verifies the FIRST 50 entries. Queries that have not yet had a
+    # driver-recorded row (round-4 rotation: mm_* ×3, sim_* ×4, and the
+    # round-3 training ops) lead; long-stable op_* relational rows — green
+    # in every round since round 1 and still covered by the local
+    # oracle-parity pytest (tests/test_oracle_parity.py) — rotate to the
+    # tail. Rotate again next round if anything is still unchecked.
+    "mm_media_features": _mm_media_features,
+    "mm_frame_sample": _mm_frame_sample,
+    "mm_metadata_check": _mm_metadata_check,
+    "sim_brute_topk": _sim_brute,
+    "sim_lsh_topk": similarity.lsh_topk,
+    "sim_embedding_near_dup": similarity.embedding_near_dup,
+    "sim_ivf_topk": similarity.ivf_topk,
+    "dedup_hot_shingles": dedup.hot_shingles_report,
+    "sample_stratified": sampling.sample_stratified,
+    "text_decontaminate": text.decontaminate_documents,
+    "text_repetition": text.repetition_documents,
+    "text_vocab_topk": text.vocab_topk_documents,
+    "text_pack_bins": text.pack_documents,
     # corpus / quality-filter family
     "qf_corpus": _qf_corpus,
     "qf_stage_a": _qf_stage_a,
@@ -350,34 +383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qf_offender_samples": _qf_offender_samples,
     "qf_issue_lifecycle": _qf_issue_lifecycle,
     "qf_report_query": _qf_report_query,
-    # relational operator inventory (SURVEY.md §2)
-    "op_group_count": relational.group_count,
-    "op_top_k": relational.top_k,
-    "op_top_k_per_group": relational.top_k_per_group,
-    "op_ratio_of_distinct": relational.ratio_of_distinct,
-    "op_anti_join": relational.anti_join,
-    "op_semi_join": relational.semi_join,
-    "op_broadcast_dim_join": relational.broadcast_dim_join,
-    "op_theta_after_join": relational.theta_after_join,
-    "op_intersect": relational.intersect_keys,
-    "op_month_lag_delta": relational.month_lag_delta,
-    "op_temporal_outlier": relational.temporal_outlier,
-    "op_conditional_rate": relational.conditional_rate,
-    "op_value_set_violations": relational.value_set_violations,
-    "op_numeric_outlier_bounds": relational.numeric_outlier_bounds,
-    "op_union_distinct": relational.union_distinct_keys,
-    "op_format_check": relational.format_check,
-    "op_hierarchy_rollup": relational.hierarchy_rollup,
-    "op_hierarchy_expansion": relational.hierarchy_expansion,
-    "op_pct_of_total": relational.pct_of_total,
-    "op_date_align": relational.date_align,
-    "op_datetime_consistency": relational.datetime_consistency,
-    "op_future_dates": lambda spark, sf_dir: relational.future_dates(
-        spark, sf_dir, clock="2024-01-20"
-    ),
-    "op_raw_sql": _op_raw_sql,
-    "op_json_extract": relational.json_extract_stats,
-    # quality-filter extras
+    "qf_next_cycle_template": _qf_next_cycle_template,
     "qf_boilerplate_topk": dedup.corpus_top_hashes,
     "qf_bucket_metrics": _qf_bucket_metrics,
     # training-data operators
@@ -394,20 +400,36 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": dedup.simhash_near_pairs,
     "dedup_clusters": dedup.dedup_clusters,
     "dedup_hot_buckets": dedup.hot_minhash_report,
-    "dedup_hot_shingles": dedup.hot_shingles_report,
-    "sample_stratified": sampling.sample_stratified,
-    "text_decontaminate": text.decontaminate_documents,
-    "text_repetition": text.repetition_documents,
-    "text_vocab_topk": text.vocab_topk_documents,
-    "text_pack_bins": text.pack_documents,
-    "sim_brute_topk": _sim_brute,
-    "sim_lsh_topk": similarity.lsh_topk,
-    "sim_embedding_near_dup": similarity.embedding_near_dup,
-    "sim_ivf_topk": similarity.ivf_topk,
-    # multimodal plumbing
-    "mm_media_features": _mm_media_features,
-    "mm_frame_sample": _mm_frame_sample,
-    "mm_metadata_check": _mm_metadata_check,
+    # relational operator inventory (SURVEY.md §2) — less-plain members
+    # stay inside the checked window; the 13 plainest rotate to the tail.
+    "op_temporal_outlier": relational.temporal_outlier,
+    "op_numeric_outlier_bounds": relational.numeric_outlier_bounds,
+    "op_hierarchy_rollup": relational.hierarchy_rollup,
+    "op_hierarchy_expansion": relational.hierarchy_expansion,
+    "op_date_align": relational.date_align,
+    "op_datetime_consistency": relational.datetime_consistency,
+    "op_future_dates": lambda spark, sf_dir: relational.future_dates(
+        spark, sf_dir, clock="2024-01-20"
+    ),
+    "op_raw_sql": _op_raw_sql,
+    "op_json_extract": relational.json_extract_stats,
+    "op_month_lag_delta": relational.month_lag_delta,
+    # ---- tail: positions 51+ (driver-unchecked this round; all green in
+    # rounds 1-3 and pytest-oracle-guarded locally) ----
+    "op_group_count": relational.group_count,
+    "op_top_k": relational.top_k,
+    "op_top_k_per_group": relational.top_k_per_group,
+    "op_ratio_of_distinct": relational.ratio_of_distinct,
+    "op_anti_join": relational.anti_join,
+    "op_semi_join": relational.semi_join,
+    "op_broadcast_dim_join": relational.broadcast_dim_join,
+    "op_theta_after_join": relational.theta_after_join,
+    "op_intersect": relational.intersect_keys,
+    "op_conditional_rate": relational.conditional_rate,
+    "op_value_set_violations": relational.value_set_violations,
+    "op_union_distinct": relational.union_distinct_keys,
+    "op_format_check": relational.format_check,
+    "op_pct_of_total": relational.pct_of_total,
 }
 
 
@@ -441,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_report_query": (
             f"WITH report AS ({oracles.lifecycle_oracle()})\n{_REPORT_SQL}"
         ),
+        "qf_next_cycle_template": oracles.next_cycle_template_oracle(),
         # relational operators
         "op_group_count": """
             SELECT l_returnflag, l_linestatus,

@@ -426,7 +426,8 @@ merged AS (
    AND c.issue_code = p.issue_code AND c.alias = p.alias),
 refined AS (
   -- per-code resolver branches (resolution.py reconcile; reference
-  -- resolvers ca_008/aa_003/cb_002)
+  -- resolvers ca_008/aa_003/cb_002/ba_002/ba_003; fnd = the per-code
+  -- finding resolution: ba_003 carries prev_finding, others refresh)
   SELECT tbl, field, issue_code, alias,
          CASE WHEN issue_code = 'QF-CB-003' AND status = 'persistent'
                    AND cur_finding <> prev_finding THEN 'under review'
@@ -434,12 +435,16 @@ refined AS (
                    AND delta > 0 THEN 'under review'
               WHEN issue_code = 'QF-CB-002' AND status = 'persistent'
                    AND cur_finding <> prev_finding THEN 'new'
+              WHEN issue_code = 'QF-BA-002' AND status = 'persistent'
+                   AND delta > 10 THEN 'under review'
               ELSE status END AS status,
-         cur_finding, cur_prevalence, delta
+         CASE WHEN issue_code = 'QF-BA-003' AND status = 'persistent'
+              THEN prev_finding ELSE cur_finding END AS fnd,
+         cur_prevalence, delta
   FROM merged),
 drift AS (
   SELECT tbl, field, 'QF-CA-006' AS issue_code, alias || '_drift' AS alias,
-         'drift' AS status, cur_finding, cur_prevalence, delta
+         'drift' AS status, cur_finding AS fnd, cur_prevalence, delta
   FROM merged
   WHERE status = 'persistent' AND abs(delta) > {drift_pct}),
 unioned AS (
@@ -449,10 +454,29 @@ SELECT 'quality_filter' AS model, '1.0' AS model_version,
        '{data_version}' AS data_version, '{__version__}' AS dqa_version,
        tbl AS table_name, field, issue_code AS check_code,
        alias AS check_alias, string_split(issue_code, '-')[2] AS check_type,
-       cur_finding AS finding, cur_prevalence AS prevalence, rank,
+       fnd AS finding, cur_prevalence AS prevalence, rank,
        CAST(NULL AS VARCHAR) AS cause, status,
        CAST(NULL AS VARCHAR) AS github_id, 'automated' AS method
 FROM ranked
+"""
+
+
+def next_cycle_template_oracle(data_version: str = "r3") -> str:
+    """Oracle for the ``generate-templates --copy-persistent`` analog
+    (rules/report.generate_template): the composed lifecycle report
+    filtered to persistent / under-review rows (Result.IsPersistent /
+    IsUnresolved, /root/reference/Tools/dqa/results/file.go:408-414) with
+    the next cycle's version stamps (generate/cmd.go:117-121)."""
+    from data_quality_analysis_spark import __version__
+
+    return f"""
+WITH report AS ({lifecycle_oracle()})
+SELECT 'quality_filter' AS model, '1.0' AS model_version,
+       '{data_version}' AS data_version, '{__version__}' AS dqa_version,
+       table_name, field, check_code, check_alias, check_type, finding,
+       prevalence, rank, cause, status, github_id, method
+FROM report
+WHERE lower(status) IN ('persistent', 'under review')
 """
 
 

@@ -65,13 +65,57 @@ def secondary_report(
         F.col("issue_code").alias("check_code"),
         F.col("alias").alias("check_alias"),
         F.split("issue_code", "-")[1].alias("check_type"),
-        F.col("cur_finding").alias("finding"),
+        # per-code finding resolution (resolution.py): ca_001-pattern
+        # refresh for most codes, ba_003 carry-forward for QF-BA-003
+        F.col("resolved_finding").alias("finding"),
         "prevalence",
         "rank",
         F.lit(None).cast("string").alias("cause"),
         "status",
         F.lit(None).cast("string").alias("github_id"),
         F.lit(METHOD).alias("method"),
+    )
+
+
+def generate_template(
+    previous: DataFrame,
+    data_version: str,
+    model: str = MODEL,
+    model_version: str = MODEL_VERSION,
+    dqa_version: str = DQA_VERSION,
+) -> DataFrame:
+    """Next-cycle secondary-report template — the Go CLI's
+    ``generate-templates --copy-persistent`` analog
+    (/root/reference/Tools/dqa/generate/cmd.go:106-130): from the previous
+    cycle's composed report, carry forward ONLY issues whose status is
+    ``persistent`` or ``under review`` (Result.IsPersistent /
+    IsUnresolved, results/file.go:408-414, case-insensitive), migrate each
+    to the current file version keeping every annotation — finding,
+    prevalence, rank, cause, github_id, method, check_alias
+    (Result.Migrate, results/file.go:267-292) — and stamp the new
+    model / model_version / data_version / dqa_version (cmd.go:117-121).
+    Everything else (new/resolved/drift rows) starts blank next cycle.
+
+    One filter + projection — no shuffle; at 100 TB of report history the
+    scan prunes on the previous cycle's partition."""
+    keep = F.lower(F.col("status")).isin("persistent", "under review")
+    return previous.filter(keep).select(
+        F.lit(model).alias("model"),
+        F.lit(model_version).alias("model_version"),
+        F.lit(data_version).alias("data_version"),
+        F.lit(dqa_version).alias("dqa_version"),
+        "table_name",
+        "field",
+        "check_code",
+        "check_alias",
+        "check_type",
+        "finding",
+        "prevalence",
+        "rank",
+        "cause",
+        "status",
+        "github_id",
+        "method",
     )
 
 

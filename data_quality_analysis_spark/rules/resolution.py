@@ -33,6 +33,20 @@ per-row Python:
 - ``QF-CB-002`` (cb_002.py:13-24): a persistent boilerplate issue with a
   changed finding is re-emitted as ``new`` (the reference builds the
   replacement off the log issue with status 'new').
+- ``QF-BA-002`` (ba_002.py:29-46): persistent missing-label issue whose
+  no-match rate WORSENED by more than 10 percentage points goes to
+  ``under review``; smaller moves keep the refreshed finding and stay
+  ``persistent``.
+- ``QF-BA-003`` (ba_003.py:9-15): missing-fact persistence — the
+  reference resolver mutates the old issue with NO changes, so the
+  PREVIOUS cycle's finding is carried forward verbatim
+  (``resolved_finding`` = prev_finding) instead of being refreshed.
+
+``resolved_finding`` is the per-code finding resolution the 16-column
+report publishes: every other code follows the ca_001.py:9-16 pattern
+(``mutated_issue.finding = log_issue.finding`` — refresh to the current
+cycle's finding; aa_001/ca_011/ca_013/ca_016 are identical), QF-BA-003
+keeps the old one (ba_003.py), resolved rows carry NULL.
 
 Drift synthesis keys off the RAW persistent status (both can fire for
 one row: the drift row is separate), and the DuckDB lifecycle oracle
@@ -105,8 +119,21 @@ def reconcile(
             (F.col("issue_code") == "QF-CB-002") & persistent & changed,
             F.lit("new"),
         )
+        .when(
+            (F.col("issue_code") == "QF-BA-002")
+            & persistent
+            & (F.col("finding_delta_pct") > 10),
+            F.lit("under review"),
+        )
         .otherwise(F.col("status"))
     )
+    # Per-code finding resolution (see module docstring): ba_003 carries
+    # the previous finding verbatim; everything else refreshes to the
+    # current finding (ca_001 pattern — NULL for resolved rows).
+    resolved_finding = F.when(
+        (F.col("issue_code") == "QF-BA-003") & persistent,
+        F.col("prev_finding"),
+    ).otherwise(F.col("cur_finding"))
     drift = (
         merged.filter(
             (F.col("status") == "persistent")
@@ -127,6 +154,11 @@ def reconcile(
             "prev_finding",
             "cur_prevalence",
             "finding_delta_pct",
+            F.col("cur_finding").alias("resolved_finding"),
         )
     )
-    return merged.withColumn("status", refined_status).unionByName(drift)
+    return (
+        merged.withColumn("status", refined_status)
+        .withColumn("resolved_finding", resolved_finding)
+        .unionByName(drift)
+    )

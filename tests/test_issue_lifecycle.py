@@ -304,6 +304,92 @@ def test_per_code_resolver_branches(spark):
     assert all(r["status"] == "new" for r in only_cur)
 
 
+def test_per_code_resolver_ba002_ba003_ca001_semantics(spark):
+    """Round-4 resolver breadth (reference resolvers ba_002/ba_003/ca_001):
+    - QF-BA-002 (ba_002.py:29-46): persistent + no-match rate worsened by
+      MORE than 10 points → under review; exactly-10 or improving stays
+      persistent (the reference tests strict >).
+    - QF-BA-003 (ba_003.py:9-15): persistent → finding carried forward
+      VERBATIM from the previous cycle (resolved_finding = prev finding).
+    - every other code (ca_001.py:9-16 pattern): resolved_finding
+      refreshes to the current cycle's finding."""
+    prev = _issues(spark, [
+        _row(version="r1", code="QF-BA-002", alias="labels_worse", pct=5.0),
+        _row(version="r1", code="QF-BA-002", alias="labels_edge", pct=5.0),
+        _row(version="r1", code="QF-BA-002", alias="labels_better", pct=20.0),
+        _row(version="r1", code="QF-BA-003", alias="missfact", pct=7.0),
+        _row(version="r1", code="QF-CA-011a", alias="refresh_me", pct=3.0),
+    ])
+    cur = _issues(spark, [
+        _row(version="r2", code="QF-BA-002", alias="labels_worse", pct=15.5),
+        _row(version="r2", code="QF-BA-002", alias="labels_edge", pct=15.0),
+        _row(version="r2", code="QF-BA-002", alias="labels_better", pct=4.0),
+        _row(version="r2", code="QF-BA-003", alias="missfact", pct=9.0),
+        _row(version="r2", code="QF-CA-011a", alias="refresh_me", pct=4.0),
+    ])
+    out = {r["alias"]: r for r in reconcile(cur, prev, drift_pct=100.0).collect()}
+    assert out["labels_worse"]["status"] == "under review"
+    assert out["labels_edge"]["status"] == "persistent"  # delta == 10, not >
+    assert out["labels_better"]["status"] == "persistent"
+    # ba_003: old finding carried verbatim; status untouched
+    assert out["missfact"]["status"] == "persistent"
+    assert out["missfact"]["resolved_finding"] == "violation rate 7.0% (617/5000)"
+    # ca_001 pattern: everything else refreshes to the current finding
+    assert out["refresh_me"]["resolved_finding"] == "violation rate 4.0% (617/5000)"
+    assert out["labels_worse"]["resolved_finding"] == (
+        "violation rate 15.5% (617/5000)"
+    )
+
+
+def test_generate_template_copy_persistent(spark):
+    """generate-templates --copy-persistent analog (generate/cmd.go:106-130
+    + results/file.go:267-292 Migrate, :408-414 IsPersistent/IsUnresolved):
+    only persistent / under-review rows survive into the next cycle's
+    template, annotations carry forward, version stamps refresh. Round
+    trip: a template row reconciled against the same current issues reads
+    as persistent again (the reference's derive-from-previous workflow)."""
+    from data_quality_analysis_spark.rules.report import (
+        generate_template,
+        secondary_report,
+    )
+
+    prev = _issues(spark, [
+        _row(version="r1", alias="empty_content", pct=10.0),
+        _row(version="r1", alias="gone", code="QF-CA-011a", pct=3.0),
+        _row(version="r1", alias="drifter", code="QF-CB-003", pct=40.0),
+    ])
+    cur = _issues(spark, [
+        _row(version="r2", alias="empty_content", pct=11.0),
+        _row(version="r2", alias="brand_new", code="QF-TOX-001", pct=1.0),
+        _row(version="r2", alias="drifter", code="QF-CB-003", pct=5.0),
+    ])
+    rep = secondary_report(cur, prev, data_version="r2")
+    tpl = generate_template(rep, data_version="r3")
+    assert tpl.columns == rep.columns  # 16-column FileVersion4 shape
+    rows = {r["check_alias"]: r for r in tpl.collect()}
+    # persistent + under-review carried; new/resolved/drift start blank
+    assert set(rows) == {"empty_content", "drifter"}
+    assert rows["empty_content"]["status"] == "persistent"
+    assert rows["drifter"]["status"] == "under review"  # CB-003 changed
+    # annotations (finding/prevalence/rank) migrate; versions re-stamp
+    full = {r["check_alias"]: r for r in rep.collect()}
+    for alias, row in rows.items():
+        assert row["finding"] == full[alias]["finding"]
+        assert row["rank"] == full[alias]["rank"]
+        assert row["data_version"] == "r3"
+    # round trip: reconcile(cur, template-as-previous) sees them persist
+    tpl_as_prev = tpl.select(
+        "data_version", F.col("table_name").alias("table"), "field",
+        F.col("check_code").alias("issue_code"),
+        F.col("check_type").alias("issue_description"),
+        F.col("check_alias").alias("alias"), "finding", "prevalence",
+    )
+    from data_quality_analysis_spark.rules.resolution import reconcile as _rec
+
+    st = {r["alias"]: r["status"] for r in _rec(cur, tpl_as_prev).collect()}
+    assert st["empty_content"] == "persistent"
+
+
 def test_read_secondary_report_all_file_versions(spark, tmp_path):
     """Golden files in each of the reference's four header generations
     (results/file.go:46-127) all normalize to the FileVersion4 shape:
