@@ -226,31 +226,54 @@ def near_dup_pairs(
     emb = with_lsh_bands(embeddings, bands, planes_per_band)
     # Single-evaluation pair generation (same pattern as
     # dedup.lsh_candidate_pairs): ONE (band, bucket) hash aggregate
-    # collects each bucket's members, the cap is a size filter, pairs
-    # explode per bucket. A self-join would run the banding pandas-UDF
-    # subtree twice — Spark never shares work across self-join inputs.
-    # Buffer memory is O(bucket) embeddings (dim floats each), linear vs
-    # the O(m²) join rows the cap exists to prevent.
-    buckets = emb.groupBy("band", "bucket").agg(
-        F.collect_list(F.struct("vec_id", "embedding")).alias("_m")
-    ).filter(F.size("_m").between(2, max_bucket))
-    # cosine computed IN the pair projection, then distinct over the
-    # scalar triple: a pair seen in k bands costs k cosines (k ≤ bands)
-    # but the dedup becomes a plain HashAggregate — deduping first would
-    # carry the embedding arrays through a SortAggregate(first(array))
-    # instead.
-    return (
+    # collects each bucket's member IDS — never the embedding arrays —
+    # the cap is a size filter, pairs explode per bucket. A self-join of
+    # the banded frame would run the banding pandas-UDF subtree twice
+    # (Spark never shares work across self-join inputs).
+    #
+    # The id-only buffer is the round-4 OOM fix: collecting
+    # struct(vec_id, embedding) materialized EVERY bucket's full arrays
+    # in one aggregation buffer BEFORE the size filter could drop it —
+    # a 10⁶-member exact-dup cluster × 512-dim float is ~2 GB in one
+    # executor buffer, the very skew the cap targets. vec_ids are 8 B
+    # each, so even an over-cap bucket buffers ≤ MBs and is then
+    # discarded; embeddings re-enter by joining the BASE table (below),
+    # which re-evaluates only the parquet scan, not the UDF.
+    buckets = (
+        emb.select("band", "bucket", "vec_id")
+        .groupBy("band", "bucket")
+        .agg(F.collect_list("vec_id").alias("_m"))
+        .filter(F.size("_m").between(2, max_bucket))
+    )
+    # distinct over the scalar id pair BEFORE fetching embeddings: a
+    # pair seen in k bands costs one plain HashAggregate row, and each
+    # surviving pair's cosine is computed exactly once (the struct
+    # formulation paid k cosines and deduped after).
+    pairs = (
         buckets.select(F.explode("_m").alias("a"), "_m")
         .select("a", F.explode("_m").alias("b"))
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(
-                _cosine(F.col("a.embedding"), F.col("b.embedding")), 6
-            ).alias("cosine"),
-        )
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
+    )
+    # embeddings join back by id from the base table: two shuffles keyed
+    # on 8-byte ids carrying (id, array) rows for candidate pairs only —
+    # at 100 TB that is |pairs| rows, not |corpus|, and AQE broadcasts
+    # the pair side when small.
+    ea = embeddings.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea")
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb")
+    )
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_cosine(F.col("_ea"), F.col("_eb")), 6).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 

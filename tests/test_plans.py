@@ -152,5 +152,27 @@ def test_lsh_pair_generation_single_evaluation_no_self_join(spark):
     assert "Join" not in p2, "simhash pairs must not self-join"
     emb = load_table(spark, SF_SMOKE, "embeddings")
     p3 = _plan(similarity.near_dup_pairs(emb))
-    assert "Join" not in p3, "embedding near-dup must not self-join"
     assert p3.count("ArrowEvalPython") == 1, "banding UDF must run once"
+
+
+def test_near_dup_aggregation_buffer_is_id_only(spark):
+    """The embedding near-dup bucket aggregate must buffer ONLY vec_ids:
+    collecting struct(vec_id, embedding) materializes an over-cap
+    bucket's full arrays (GBs for a 10⁶-member exact-dup cluster at
+    512-dim) in one aggregation buffer BEFORE the size filter drops it —
+    the round-3 OOM risk. Embeddings must re-enter via id joins against
+    the base table, which also means each surviving pair's cosine is
+    computed exactly once."""
+    from data_quality_analysis_spark.operators import similarity
+    from data_quality_analysis_spark.session import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(similarity.near_dup_pairs(emb))
+    collects = [l for l in plan.splitlines() if "collect_list" in l]
+    assert collects, "bucket aggregate must use collect_list"
+    for line in collects:
+        assert "vec_id" in line
+        assert "embedding" not in line, (
+            f"aggregation buffer must not carry embeddings: {line}"
+        )
+    assert "struct(vec_id" not in plan
