@@ -800,9 +800,11 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": """
             WITH b AS (
               SELECT doc_id, lang,
-                ('0x' || substr(md5('s1|' || CAST(doc_id AS VARCHAR)),
+                ('0x' || substr(md5('s1|' ||
+                  coalesce(CAST(doc_id AS VARCHAR), '<null>')),
                   1, 15))::BIGINT % 10000 AS b1,
-                ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                ('0x' || substr(md5('split|' ||
+                  coalesce(CAST(doc_id AS VARCHAR), '<null>')),
                   1, 15))::BIGINT % 10000 AS b2
               FROM documents)
             SELECT doc_id, lang, b2 < 2000 AS is_holdout

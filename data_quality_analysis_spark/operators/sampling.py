@@ -28,9 +28,18 @@ SAMPLE_BUCKETS = 10_000  # rate resolution: 0.01%
 def _bucket(key: Column, seed: str) -> Column:
     """Stable bucket in [0, SAMPLE_BUCKETS): md5-60-bit of (seed, key),
     mod buckets. Spark `conv(substr(md5(..),1,15),16,10)` ≡ DuckDB
-    `('0x'||substr(md5(..),1,15))::BIGINT` — the shared oracle trick."""
+    `('0x'||substr(md5(..),1,15))::BIGINT` — the shared oracle trick.
+
+    NULL keys hash as the literal sentinel ``<null>`` — an explicit
+    coalesce, because the engines otherwise diverge: Spark's concat_ws
+    SKIPS nulls (every NULL-key row would collapse into the seed-only
+    bucket, kept or dropped as a block), while SQL ``||`` propagates
+    NULL (the row would silently drop). The sentinel gives NULL keys one
+    well-defined bucket in both engines; oracles use
+    ``coalesce(CAST(key AS VARCHAR), '<null>')`` to match."""
+    key_s = F.coalesce(key.cast("string"), F.lit("<null>"))
     h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.lit(seed), key.cast("string"))), 1, 15),
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed), key_s)), 1, 15),
         16,
         10,
     ).cast("long")

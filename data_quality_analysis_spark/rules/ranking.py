@@ -227,7 +227,16 @@ def parse_ranking_csv(text: str) -> list[RankingRule]:
         elif p_raw == "in (*)":
             prevalences = None
         else:
-            prevalences = _parse_in_set(p_raw, i)
+            prevalences = [p.lower() for p in _parse_in_set(p_raw, i)]
+            # the reference parser rejects invalid prevalences
+            # (parser.go prevalence validation against the known set);
+            # without this a typo like 'hgih' parses and silently
+            # matches nothing
+            for p in prevalences:
+                if p not in PREVALENCES + ("unknown",):
+                    raise RankingParseError(
+                        i, f"'{p}' is not a valid prevalence"
+                    )
         rank = _RANKS.get(r_raw.lower())
         if rank is None:
             raise RankingParseError(i, f"'{r_raw}' is not a valid rank")

@@ -199,6 +199,17 @@ def test_ranking_csv_parser_rejects_bad_input():
             "table,field,issue code,prevalence,rank\n"
             '"in (a b, c)",in (*),c,low,High'
         )
+    # invalid prevalence rejected like the reference parser — a typo
+    # ('hgih') must not parse into a rule that silently matches nothing
+    with pytest.raises(RankingParseError, match="prevalence"):
+        parse_ranking_csv(
+            "table,field,issue code,prevalence,rank\nt,in (*),c,hgih,High"
+        )
+    with pytest.raises(RankingParseError, match="prevalence"):
+        parse_ranking_csv(
+            "table,field,issue code,prevalence,rank\n"
+            't,in (*),c,"in (low, hgih)",High'
+        )
 
 
 def test_ranking_field_conditions_match_reference_semantics(spark):

@@ -100,6 +100,48 @@ def test_stratified_sample_rates_per_stratum(spark):
     assert 0.3 * total < kept < 0.7 * total
 
 
+def test_sampling_null_key_engine_parity(spark):
+    """NULL keys hash via the '<null>' sentinel (sampling._bucket): they
+    get ONE well-defined bucket in BOTH engines instead of Spark's
+    concat_ws null-skip (seed-only bucket) vs SQL's NULL propagation
+    (silent drop) — the r3-flagged latent divergence."""
+    import duckdb
+
+    rows = [(None, "x"), (1, "a"), (2, "b"), (3, "c"), (None, "y")]
+    d = spark.createDataFrame(rows, "k long, v string")
+    keyf = lambda t: (t[0] is None, t[0] or 0, t[1])  # noqa: E731
+    got = sorted(
+        ((r["k"], r["v"]) for r in sampling.hash_sample(d, 0.5, "k").collect()),
+        key=keyf,
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({'NULL' if k is None else k}, '{v}')" for k, v in rows
+            )
+            + ") AS _(k, v)"
+        )
+        want = sorted(
+            (
+                (r[0], r[1])
+                for r in con.execute(
+                    "SELECT k, v FROM t WHERE ('0x' || substr(md5('s1|' || "
+                    "coalesce(CAST(k AS VARCHAR), '<null>')), 1, 15))::BIGINT "
+                    "% 10000 < 5000"
+                ).fetchall()
+            ),
+            key=keyf,
+        )
+    finally:
+        con.close()
+    assert got == want
+    # NULL-key rows share one bucket: both or neither survive a given cut
+    null_kept = [v for k, v in got if k is None]
+    assert null_kept in ([], ["x", "y"])
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     docs = spark.createDataFrame(
         [
@@ -135,6 +177,40 @@ def test_repetition_stats_planted(spark):
     assert got[1]["max_line_share"] == 0.8
     assert got[2]["dup_line_ratio"] == 0.0 and not got[2]["viol_repetition"]
     assert got[3]["n_lines"] == 2
+
+
+import pytest
+
+
+@pytest.mark.parametrize("n_parts", [1, 2, 3, 7, 32, 64])
+def test_pack_bins_partition_invariant_across_counts(spark, n_parts):
+    """The two-pass distributed prefix sum must equal the single-
+    partition result at EVERY partition count (r3 covered one pair; the
+    round-4 pin parameterizes, including n_parts far above the sf0.001
+    row spread so range partitions land skewed)."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    base = {r["doc_id"]: r["bin"] for r in text.pack_bins(d, n_parts=1).collect()}
+    got = {
+        r["doc_id"]: r["bin"]
+        for r in text.pack_bins(d, n_parts=n_parts).collect()
+    }
+    assert got == base and got
+
+
+def test_pack_bins_sparse_keys_empty_partitions(spark):
+    """Range repartition with far fewer keys than partitions leaves
+    EMPTY partitions — their absent per-partition totals must read as
+    offset 0 contribution, not a KeyError or a bin gap."""
+    docs = spark.createDataFrame(
+        [(k, "tok " * 100) for k in (5, 900, 90000, 90001, 7_000_000)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bin"]
+        for r in text.pack_bins(docs, budget=150, n_parts=16).collect()
+    }
+    # 100 tokens each, budget 150: cum-before = 0,100,200,300,400
+    assert got == {5: 0, 900: 0, 90000: 1, 90001: 2, 7_000_000: 2}
 
 
 def test_pack_bins_partition_invariant_and_budgeted(spark):
