@@ -488,11 +488,18 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def corpus_top_hashes(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+def corpus_top_hashes(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    prefixes: list[str] | None = None,
+) -> DataFrame:
     """CB-002 analog (/root/reference/Library/UnexTop.R:16-132): top-K
     most-duplicated content hashes, flagged against the corpus-wide
-    boilerplate prefix list. One hash-groupBy (map-side combinable) +
-    TakeOrdered — no full sort at scale."""
+    boilerplate prefix list (``prefixes`` — catalog data,
+    RuleCatalog.boilerplate_prefixes; default = built-in list). One
+    hash-groupBy (map-side combinable) + TakeOrdered — no full sort at
+    scale."""
     from functools import reduce
     from operator import or_
 
@@ -501,7 +508,11 @@ def corpus_top_hashes(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
 
     c = corpus_view(spark, sf_dir)
     boiler = reduce(
-        or_, [F.col("content").startswith(p) for p in BOILERPLATE_PREFIXES]
+        or_,
+        [
+            F.col("content").startswith(p)
+            for p in (prefixes or BOILERPLATE_PREFIXES)
+        ],
     )
     return (
         c.groupBy(F.sha2(F.col("content"), 256).alias("content_sha"))

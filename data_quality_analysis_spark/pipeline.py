@@ -67,7 +67,11 @@ def run_rules(
         staged = with_duplicate_flag(staged)
     else:
         staged = with_duplicate_flag_from_set(staged, dup_shas)
-    staged = with_analysis(staged, bounds=catalog.bounds)
+    staged = with_analysis(
+        staged,
+        bounds=catalog.bounds,
+        lang_profiles=getattr(catalog, "lang_profiles", None),
+    )
     return with_verdict(staged, catalog)
 
 

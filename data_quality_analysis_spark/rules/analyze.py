@@ -45,11 +45,17 @@ _ANALYZE_SCHEMA = StructType(
 )
 
 
-def analyze_batch(content: pd.Series) -> pd.DataFrame:
+def analyze_batch(
+    content: pd.Series,
+    lang_profiles=None,
+    langid_min_hits: int | None = None,
+) -> pd.DataFrame:
     scrubbed = scrub_batch(content)
     return pd.DataFrame(
         {
-            "detected_lang": detect_lang_batch(content),
+            "detected_lang": detect_lang_batch(
+                content, lang_profiles, langid_min_hits
+            ),
             "perplexity": perplexity_batch(content),
             "scrubbed": scrubbed["scrubbed"],
             "n_pii_spans": scrubbed["n_pii_spans"],
@@ -58,14 +64,42 @@ def analyze_batch(content: pd.Series) -> pd.DataFrame:
     )
 
 
-@pandas_udf(_ANALYZE_SCHEMA)
-def _analyze_udf(content: pd.Series) -> pd.DataFrame:
-    return analyze_batch(content)
+def make_analyze_udf(lang_profiles=None, langid_min_hits: int | None = None):
+    """Fused-UDF factory for catalog-supplied language profiles
+    (RuleCatalog.lang_profiles — the value-set-file pattern). The default
+    instance below serves the built-in model."""
+
+    @pandas_udf(_ANALYZE_SCHEMA)
+    def _udf(content: pd.Series) -> pd.DataFrame:
+        return analyze_batch(content, lang_profiles, langid_min_hits)
+
+    return _udf
 
 
-def with_analysis(df: DataFrame, bounds: dict | None = None) -> DataFrame:
-    """Attach all Stage-B/C outputs + rule flags in one fused UDF pass."""
-    out = df.withColumn("_a", _analyze_udf(F.col("content"))).select(
+_analyze_udf = make_analyze_udf()
+
+
+def with_analysis(
+    df: DataFrame,
+    bounds: dict | None = None,
+    lang_profiles=None,
+) -> DataFrame:
+    """Attach all Stage-B/C outputs + rule flags in one fused UDF pass.
+    ``lang_profiles`` (catalog data) swaps the language-ID model; the
+    default built-in model reuses the module UDF instance."""
+    from data_quality_analysis_spark.rules.scoring import (
+        BOUNDS as _SB,
+        LANG_PROFILES as _LP,
+    )
+
+    min_hits = (bounds or _SB).get("langid_min_hits")
+    if (lang_profiles is None or list(lang_profiles) == _LP) and (
+        min_hits == _SB["langid_min_hits"]
+    ):
+        udf = _analyze_udf
+    else:
+        udf = make_analyze_udf(list(lang_profiles or _LP), min_hits)
+    out = df.withColumn("_a", udf(F.col("content"))).select(
         "*",
         F.col("_a.detected_lang").alias("detected_lang"),
         F.col("_a.perplexity").alias("perplexity"),

@@ -125,7 +125,12 @@ def default_catalog() -> "RuleCatalog":
 
 
 class RuleCatalog:
-    def __init__(self, rules: list[Rule], bounds: dict | None = None):
+    def __init__(
+        self,
+        rules: list[Rule],
+        bounds: dict | None = None,
+        models: dict | None = None,
+    ):
         self.rules = list(rules)
         by_name = {r.name: r for r in self.rules}
         if len(by_name) != len(self.rules):
@@ -136,6 +141,24 @@ class RuleCatalog:
         # just the issue-rate bands, without code edits). Defaults to the
         # module BOUNDS; travels through the JSON round-trip.
         self.bounds = dict(BOUNDS if bounds is None else bounds)
+        # Model data — the analog of the reference's editable per-table
+        # value-set files (/root/reference/Data/ValueSets/, read at
+        # Library/CheckFunctions.R:2-18): the boilerplate prefix list and
+        # the language-ID stopword profiles ship IN the catalog document,
+        # so a deployment re-tunes both without code edits. Defaults to
+        # the built-in constants (lazy import — scoring imports catalog).
+        m = dict(models or {})
+        self.boilerplate_prefixes = list(
+            m.get("boilerplate_prefixes", BOILERPLATE_PREFIXES)
+        )
+        lp = m.get("lang_profiles")
+        if lp is None:
+            from data_quality_analysis_spark.rules.scoring import (
+                LANG_PROFILES,
+            )
+
+            lp = LANG_PROFILES
+        self.lang_profiles = [(lang, tuple(words)) for lang, words in lp]
 
     def flag_cols(self) -> list[str]:
         return [f"viol_{r.name}" for r in self.rules]
@@ -161,6 +184,13 @@ def catalog_to_json(catalog: "RuleCatalog") -> str:
     return json.dumps(
         {
             "bounds": catalog.bounds,
+            "models": {
+                "boilerplate_prefixes": catalog.boilerplate_prefixes,
+                "lang_profiles": [
+                    [lang, list(words)]
+                    for lang, words in catalog.lang_profiles
+                ],
+            },
             "rules": [
                 {
                     "code": r.code,
@@ -209,6 +239,7 @@ def catalog_from_json(text: str) -> "RuleCatalog":
             for d in doc["rules"]
         ],
         bounds=doc.get("bounds"),
+        models=doc.get("models"),
     )
 
 

@@ -72,8 +72,11 @@ def with_heuristic_flags(df: DataFrame, catalog: RuleCatalog) -> DataFrame:
     edit the per-check threshold CSVs.
     """
     b = getattr(catalog, "bounds", BOUNDS)
+    # boilerplate prefix list ships in the catalog document (the
+    # reference's editable value-set-file pattern, Data/ValueSets/)
+    prefixes = getattr(catalog, "boilerplate_prefixes", BOILERPLATE_PREFIXES)
     boiler = F.lit(False)
-    for p in BOILERPLATE_PREFIXES:
+    for p in prefixes:
         boiler = boiler | F.col("content").startswith(p)
     flags = {
         "viol_empty_content": F.col("is_blank"),

@@ -38,15 +38,29 @@ LANG_ORDER = [lang for lang, _ in LANG_PROFILES]
 LANG_REGEXES = {
     lang: r"\b(?:" + "|".join(words) + r")\b" for lang, words in LANG_PROFILES
 }
-# word → profile index for the tokenized fast path. Profile words are
-# disjoint across languages; ties in hit COUNTS still break to the
-# earliest profile via argmax order.
-_WORD2IDX = {
-    w: i for i, (_, words) in enumerate(LANG_PROFILES) for w in words
-}
+# word → profile index for the tokenized fast path. A word claimed by
+# several profiles maps to the EARLIEST (setdefault), and ties in hit
+# COUNTS also break to the earliest profile via argmax order. (The
+# default profiles are disjoint; catalog-supplied ones need not be.)
+def _profile_index(
+    profiles: list[tuple[str, tuple[str, ...]]],
+) -> tuple[list[str], dict[str, int]]:
+    order = [lang for lang, _ in profiles]
+    w2i: dict[str, int] = {}
+    for i, (_, words) in enumerate(profiles):
+        for w in words:
+            w2i.setdefault(w, i)
+    return order, w2i
 
 
-def detect_lang_batch(texts: pd.Series) -> pd.Series:
+LANG_ORDER, _WORD2IDX = _profile_index(LANG_PROFILES)
+
+
+def detect_lang_batch(
+    texts: pd.Series,
+    profiles: list[tuple[str, tuple[str, ...]]] | None = None,
+    min_hits: int | None = None,
+) -> pd.Series:
     """Vectorized language ID over one Arrow batch.
 
     One tokenizing regex pass + a dict lookup per token, instead of one
@@ -55,12 +69,23 @@ def detect_lang_batch(texts: pd.Series) -> pd.Series:
     reproduce `\\b` boundaries with ASCII word chars exactly, which is
     also what the DuckDB oracle's RE2 `\\b` means — so 'émit' counts a
     hit for 'mit' in both engines (Python's default Unicode `\\b` would
-    not; the pure-Python oracle therefore compiles with re.ASCII)."""
+    not; the pure-Python oracle therefore compiles with re.ASCII).
+
+    ``profiles`` / ``min_hits`` override the built-in model — the
+    deployment path is catalog data (RuleCatalog.lang_profiles +
+    bounds['langid_min_hits'], the reference's editable value-set-file
+    pattern); ``None`` uses the module defaults."""
+    if profiles is None:
+        order, w2i = LANG_ORDER, _WORD2IDX
+    else:
+        order, w2i = _profile_index(profiles)
+    if min_hits is None:
+        min_hits = BOUNDS["langid_min_hits"]
     s = texts.fillna("").reset_index(drop=True)  # labels become positions
     toks = s.str.findall(r"[A-Za-z0-9_]+").explode()
-    mapped = toks.map(_WORD2IDX).dropna()
+    mapped = toks.map(w2i).dropna()
     n = len(s)
-    counts = np.zeros((n, len(LANG_ORDER)), dtype=np.int64)
+    counts = np.zeros((n, len(order)), dtype=np.int64)
     if len(mapped):
         np.add.at(
             counts,
@@ -69,8 +94,8 @@ def detect_lang_batch(texts: pd.Series) -> pd.Series:
         )
     best = counts.argmax(axis=1)  # first max wins the tie
     best_hits = counts.max(axis=1)
-    out = np.array(LANG_ORDER, dtype=object)[best]
-    out[best_hits < BOUNDS["langid_min_hits"]] = "unknown"
+    out = np.array(order, dtype=object)[best]
+    out[best_hits < min_hits] = "unknown"
     return pd.Series(out, index=texts.index)
 
 
@@ -108,14 +133,27 @@ _SCORE_SCHEMA = StructType(
 )
 
 
-@pandas_udf(_SCORE_SCHEMA)
-def _score_udf(content: pd.Series) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "detected_lang": detect_lang_batch(content),
-            "perplexity": perplexity_batch(content),
-        }
-    )
+def make_score_udf(
+    profiles: list[tuple[str, tuple[str, ...]]] | None = None,
+    min_hits: int | None = None,
+):
+    """Score-UDF factory for catalog-supplied language profiles — the
+    model ships as data (RuleCatalog.lang_profiles) and the closure is
+    broadcast once per executor like any pandas UDF."""
+
+    @pandas_udf(_SCORE_SCHEMA)
+    def _udf(content: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "detected_lang": detect_lang_batch(content, profiles, min_hits),
+                "perplexity": perplexity_batch(content),
+            }
+        )
+
+    return _udf
+
+
+_score_udf = make_score_udf()
 
 
 def score_flags(df: DataFrame, bounds: dict | None = None) -> DataFrame:
@@ -143,9 +181,22 @@ def score_flags(df: DataFrame, bounds: dict | None = None) -> DataFrame:
     )
 
 
-def with_scores(df: DataFrame) -> DataFrame:
-    """Attach detected_lang / perplexity and the Stage-B rule flags."""
-    scored = df.withColumn("_score", _score_udf(F.col("content"))).select(
+def with_scores(df: DataFrame, catalog=None) -> DataFrame:
+    """Attach detected_lang / perplexity and the Stage-B rule flags.
+    ``catalog`` (RuleCatalog) supplies lang_profiles + bounds; ``None``
+    uses the built-in model."""
+    if catalog is None:
+        udf, bounds = _score_udf, None
+    else:
+        profiles = list(catalog.lang_profiles)
+        bounds = catalog.bounds
+        udf = (
+            _score_udf
+            if profiles == LANG_PROFILES
+            and bounds.get("langid_min_hits") == BOUNDS["langid_min_hits"]
+            else make_score_udf(profiles, bounds.get("langid_min_hits"))
+        )
+    scored = df.withColumn("_score", udf(F.col("content"))).select(
         "*", "_score.detected_lang", "_score.perplexity"
     ).drop("_score")
-    return score_flags(scored)
+    return score_flags(scored, bounds=bounds)

@@ -310,6 +310,66 @@ def test_numeric_outlier_bounds_approx_matches_exact_within_rank_error(spark):
         assert lo <= a["median_price"] <= hi, (g, a["median_price"], lo, hi)
 
 
+def test_catalog_model_data_roundtrip_and_retune(spark, tmp_path):
+    """Round-4: the boilerplate prefix list and language-ID profiles ship
+    as catalog DATA (the reference's editable value-set files,
+    Data/ValueSets/ read at Library/CheckFunctions.R:2-18). A file-loaded
+    default catalog scores identically; editing either list in the FILE
+    changes behavior with zero code edits."""
+    import json
+
+    from data_quality_analysis_spark.corpus import corpus_view
+    from data_quality_analysis_spark.pipeline import run_rules
+    from data_quality_analysis_spark.rules.catalog import (
+        catalog_to_json,
+        default_catalog,
+        load_catalog,
+    )
+
+    path = tmp_path / "catalog.json"
+    path.write_text(catalog_to_json(default_catalog()))
+    loaded = load_catalog(str(path))
+    # model data survives the round trip
+    assert loaded.boilerplate_prefixes == default_catalog().boilerplate_prefixes
+    assert loaded.lang_profiles == default_catalog().lang_profiles
+
+    corpus = corpus_view(spark, SF_SMOKE)
+    base_rows = run_rules(corpus, loaded).select(
+        "path", "detected_lang", "viol_boilerplate", "keep"
+    ).collect()
+    base = {r["path"]: r for r in base_rows}
+    default_rows = run_rules(corpus).select(
+        "path", "detected_lang", "viol_boilerplate", "keep"
+    ).collect()
+    assert base == {r["path"]: r for r in default_rows}  # identical verdicts
+
+    # edit the boilerplate list in the FILE: a prefix taken from a real
+    # file must flip that file's viol_boilerplate (and no code changed)
+    sample = corpus.filter("length(content) >= 12").orderBy("path").first()
+    doc = json.loads(path.read_text())
+    doc["models"]["boilerplate_prefixes"].append(sample["content"][:12])
+    path.write_text(json.dumps(doc))
+    edited = run_rules(corpus, load_catalog(str(path))).select(
+        "path", "viol_boilerplate"
+    ).collect()
+    flipped = {r["path"] for r in edited if r["viol_boilerplate"]}
+    assert sample["path"] in flipped
+    assert flipped >= {p for p, r in base.items() if r["viol_boilerplate"]}
+
+    # edit the language profiles in the FILE: a single renamed profile
+    # relabels detection everywhere (langid model is data, not code)
+    doc["models"]["lang_profiles"] = [["xx", ["the", "a", "and", "of"]]]
+    path.write_text(json.dumps(doc))
+    langs = {
+        r["detected_lang"]
+        for r in run_rules(corpus, load_catalog(str(path)))
+        .select("detected_lang")
+        .collect()
+    }
+    assert "xx" in langs
+    assert langs <= {"xx", "unknown"}
+
+
 def test_catalog_legacy_list_json_still_loads():
     """Round-1/2 catalog files were a bare rule LIST (no bounds doc);
     catalog_from_json must still accept them, defaulting bounds."""
