@@ -224,8 +224,9 @@ def scaling_probes() -> dict:
     interleave TRIALS rounds of (control, probe-N, control, probe-4N) and
     take each level's best throughput — peak capability per level is
     stable across windows even when individual windows are degraded.
-    `efficiency_normalized` additionally divides out whatever machine
-    (non-)scaling the adjacent controls saw."""
+    `efficiency_normalized` additionally divides out the machine
+    (non-)scaling seen by the controls measured in the SAME windows as
+    each level's best throughput (never mixing windows)."""
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
     # 3 interleaved trials per level (each probe itself best-of-2): round 2
     # showed best-of-2 trials can still catch two degraded host windows at
@@ -237,37 +238,53 @@ def scaling_probes() -> dict:
     best: dict[int, dict] = {}
     controls: dict[int, float] = {}
     rounds = []
-    for _ in range(trials):
+
+    def _run_pair(extra: bool = False) -> None:
         for cores in levels:
             ctl = _cpu_control(cores)
             res = _one_probe(cores)
-            controls[cores] = max(controls.get(cores, 0.0), ctl)
             if (cores not in best
                     or res["files_per_sec"] > best[cores]["files_per_sec"]):
                 best[cores] = res
-            rounds.append({"cores": cores, "control_units_per_sec": ctl,
-                           "files_per_sec": res["files_per_sec"]})
-    # Safety net against a fully-degraded probe window (observed: every
-    # local[4N] window in one run read 2-3× under capability while the
-    # adjacent controls were fine): if the raw efficiency from the
-    # planned trials misses the gate, run up to EXTRA more interleaved
-    # pairs and keep each level's best. Honest — still measuring peak
-    # per-level capability, just with more attempts — and bounded.
+                # control PAIRED with the window that produced the
+                # level's best throughput (r3 advice: the normalized
+                # metric must not mix a best fps from one window with a
+                # max control from another)
+                controls[cores] = ctl
+            row = {"cores": cores, "control_units_per_sec": ctl,
+                   "files_per_sec": res["files_per_sec"]}
+            if extra:
+                row["extra"] = True
+            rounds.append(row)
+
+    for _ in range(trials):
+        _run_pair()
+
+    # Symmetric retry, gated on measurement NOISE rather than on failing
+    # the efficiency target (r3 advice: a below-gate-only retry is
+    # one-sided selection toward passing). A level's peak estimate is
+    # considered solid when its top two windows agree within 15%; while
+    # any level's do not (the r2 failure signature: one level's every
+    # window degraded 2-3× under capability), run up to EXTRA more
+    # interleaved pairs — regardless of which direction the current
+    # efficiency number points.
     extra = int(os.environ.get("SPARK_GRAFT_SCALE_EXTRA", "2"))
-    for _ in range(extra):
-        fps_n = best[n]["files_per_sec"]
-        fps_4n = best[4 * n]["files_per_sec"]
-        if fps_4n / (4.0 * fps_n) >= 0.82:
-            break
+
+    def _noisy() -> bool:
         for cores in levels:
-            ctl = _cpu_control(cores)
-            res = _one_probe(cores)
-            controls[cores] = max(controls[cores], ctl)
-            if res["files_per_sec"] > best[cores]["files_per_sec"]:
-                best[cores] = res
-            rounds.append({"cores": cores, "control_units_per_sec": ctl,
-                           "files_per_sec": res["files_per_sec"],
-                           "extra": True})
+            fps = sorted(
+                (r["files_per_sec"] for r in rounds if r["cores"] == cores),
+                reverse=True,
+            )
+            if len(fps) >= 2 and fps[0] / max(fps[1], 1e-9) > 1.15:
+                return True
+        return False
+
+    for _ in range(extra):
+        if not _noisy():
+            break
+        _run_pair(extra=True)
+
     out: dict = {"trials": rounds}
     for cores in levels:
         out[f"local[{cores}]"] = best[cores]
@@ -303,26 +320,56 @@ def main() -> None:
         # warm-up (JVM, Python workers, Arrow) outside timed region
         run_pipeline_once(spark, SF_DIR, max(REPLICATION // 8, 1))
 
-        # headline: best of 2 (first-run JIT/page-cache effects and host
-        # noise otherwise dominate single-shot numbers — measured 2×
-        # run-to-run swings on this microVM)
-        files, headline_sec = run_pipeline_once(spark, SF_DIR, REPLICATION)
-        _, second = run_pipeline_once(spark, SF_DIR, REPLICATION)
-        headline_sec = min(headline_sec, second)
-
         queries = entry_mod.queries()
-        per_query: dict[str, float] = {}
-        for name in BENCH_QUERIES:
-            fn = queries.get(name)
-            if fn is None:
-                continue
-            fn(spark, SF_DIR).count()  # warm (scan cache, codegen, workers)
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, SF_DIR).count()
-                best = min(best, time.perf_counter() - t0)
-            per_query[name] = round(best, 3)
+
+        def _timed_window() -> dict:
+            """One measurement window: headline best-of-2 + per-query
+            best-of-2 (first-run JIT/page-cache effects and host noise
+            otherwise dominate single-shot numbers — measured 2×
+            run-to-run swings on this microVM)."""
+            files, sec = run_pipeline_once(spark, SF_DIR, REPLICATION)
+            _, second = run_pipeline_once(spark, SF_DIR, REPLICATION)
+            per_query: dict[str, float] = {}
+            for name in BENCH_QUERIES:
+                fn = queries.get(name)
+                if fn is None:
+                    continue
+                fn(spark, SF_DIR).count()  # warm (scan cache, codegen)
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, SF_DIR).count()
+                    best = min(best, time.perf_counter() - t0)
+                per_query[name] = round(best, 3)
+            return {"files": files, "headline_sec": min(sec, second),
+                    "queries": per_query}
+
+        # The scaling gate got interleaved multi-window trials in r3; the
+        # headline and per-query numbers ran once in whatever window the
+        # host offered and recorded 2-3× degraded values while
+        # same-commit reruns read fine (r3 artifact: minhash 10.4s vs
+        # 1.8-2.3s). Same discipline here: at least 2 windows, each with
+        # an adjacent CPU control; keep best-of per metric; run up to 2
+        # extra windows while the two best windows' headline throughputs
+        # disagree by >15% (noise-triggered, direction-neutral, bounded).
+        windows: list[dict] = []
+        win_controls: list[float] = []
+        while True:
+            win_controls.append(_cpu_control(8))
+            windows.append(_timed_window())
+            if len(windows) >= 2:
+                fps = sorted(
+                    (w["files"] / w["headline_sec"] for w in windows),
+                    reverse=True,
+                )
+                if fps[0] / max(fps[1], 1e-9) <= 1.15 or len(windows) >= 4:
+                    break
+        files = windows[0]["files"]
+        headline_sec = min(w["headline_sec"] for w in windows)
+        per_query = {
+            name: min(w["queries"][name] for w in windows)
+            for name in windows[0]["queries"]
+        }
     finally:
         spark.stop()
 
@@ -336,6 +383,11 @@ def main() -> None:
         "files_per_sec": round(files / headline_sec, 1),
         "cores": int(CPUS) if CPUS.isdigit() else CPUS,
         "replication": REPLICATION,
+        "windows": [
+            {"control_units_per_sec": c,
+             "files_per_sec": round(w["files"] / w["headline_sec"], 1)}
+            for c, w in zip(win_controls, windows)
+        ],
     }
     if scaling is not None:
         result["scaling"] = scaling
