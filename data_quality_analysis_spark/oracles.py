@@ -375,7 +375,10 @@ _FINDING_EXPR = (
 
 
 def lifecycle_oracle(
-    data_version: str = "r2", drift_pct: float = 10.0
+    data_version: str = "r2",
+    drift_pct: float = 10.0,
+    drift_lo: float | None = None,
+    drift_hi: float | None = None,
 ) -> str:
     """Full-SQL oracle for the composed 16-column secondary report
     (rules/report.py): both cycles' rates (current corpus vs the
@@ -404,6 +407,8 @@ def lifecycle_oracle(
   WHERE (c.lower_b IS NOT NULL AND r.pct < c.lower_b)
      OR (c.upper_b IS NOT NULL AND r.pct > c.upper_b)"""
 
+    lo = -drift_pct if drift_lo is None else drift_lo
+    hi = drift_pct if drift_hi is None else drift_hi
     return f"""
 WITH cat(rule_name, code, description, lower_b, upper_b) AS (
     VALUES {cat_values}),
@@ -420,6 +425,7 @@ merged AS (
          c.finding AS cur_finding,
          c.prevalence AS cur_prevalence,
          round(c.pct - p.pct, 2) AS delta,
+         c.pct AS cur_pct, p.pct AS prev_pct,
          p.finding AS prev_finding
   FROM cur_issues c FULL OUTER JOIN prev_issues p
     ON c.tbl = p.tbl AND c.field = p.field
@@ -443,10 +449,17 @@ refined AS (
          cur_prevalence, delta
   FROM merged),
 drift AS (
+  -- BA-001 rows use the reference resolver's full gate (ba_001.py:46-70):
+  -- asymmetric (lo, hi) band, 100%-missingness always-fire edges, and the
+  -- m_diff == 0 early-out; other codes keep the symmetric band.
   SELECT tbl, field, 'QF-CA-006' AS issue_code, alias || '_drift' AS alias,
          'drift' AS status, cur_finding AS fnd, cur_prevalence, delta
   FROM merged
-  WHERE status = 'persistent' AND abs(delta) > {drift_pct}),
+  WHERE status = 'persistent' AND (CASE
+          WHEN issue_code = 'QF-BA-001'
+          THEN delta <> 0 AND (cur_pct = 100 OR prev_pct = 100
+                               OR delta > {hi} OR delta < {lo})
+          ELSE abs(delta) > {drift_pct} END)),
 unioned AS (
   SELECT * FROM refined UNION ALL SELECT * FROM drift),
 ranked AS (SELECT *, {_rank_case_sql()} AS rank FROM unioned)

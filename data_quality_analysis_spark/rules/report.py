@@ -41,6 +41,8 @@ def secondary_report(
     data_version: str = "r2",
     drift_pct: float = 10.0,
     rules: list[RankingRule] | None = None,
+    drift_lo: float | None = None,
+    drift_hi: float | None = None,
 ) -> DataFrame:
     """current ⟗ previous issues → the 16-column FileVersion4 shape.
 
@@ -51,7 +53,10 @@ def secondary_report(
     ``cause``/``github_id`` are human/automation annotations the
     reference merges from the previous cycle's review — NULL here (no
     reviewer in the loop)."""
-    merged = reconcile(current, previous, drift_pct=drift_pct)
+    merged = reconcile(
+        current, previous, drift_pct=drift_pct,
+        drift_lo=drift_lo, drift_hi=drift_hi,
+    )
     ranked = apply_ranking(
         merged.withColumn("prevalence", F.col("cur_prevalence")), rules
     )
@@ -225,3 +230,67 @@ def write_secondary_report(df: DataFrame, path: str, mode: str = "overwrite") ->
     df.select(
         *[F.col(c).alias(h) for c, h in _V4_HEADERS]
     ).write.mode(mode).option("header", "true").csv(path)
+
+
+# ------------------------------------------------------------- S6 sink --
+# The reference's report sink builds a vector of markdown lines per table
+# — "## Barplot for <field>" sections, the per-check finding messages,
+# and image REFERENCES like "![field](../images/RPlot_<t>_<f>.png)" — and
+# writeLines()s it to "<table>_Report_Automatic.md"
+# (Main/Level1/scripts/GeneratePersonReport_QueryWise.R:13,332-350;
+# Library/DocumentationModules.R:125-133 paste_image_name). The PNGs
+# themselves come from a separate plotting pass (Library/CreatePlots.R)
+# — rasterization stays out of scope here (no plotting libs), but the
+# markdown artifact, section structure, and image-reference convention
+# are reproduced so the emitted file drops into the reference's report
+# directory layout unchanged.
+#
+# Scale note: the input is the COMPOSED report (O(rules) rows — already
+# the product of the distributed aggregation), so collecting it to
+# render markdown is O(#issues), never O(corpus).
+
+
+def _image_ref(table_name: str, field: str) -> str:
+    """Library/DocumentationModules.R:125-133 naming, verbatim."""
+    return f"![{field}](../images/RPlot_{table_name}_{field}.png)"
+
+
+def render_markdown_report(report: DataFrame, table_name: str) -> str:
+    """Render one table's composed 16-column report as the reference's
+    per-table markdown document (sections per field, finding lines,
+    image references)."""
+    rows = (
+        report.filter(F.col("table_name") == table_name)
+        .orderBy("field", "check_code", "check_alias")
+        .collect()
+    )
+    lines = [f"# Data quality report for {table_name}", ""]
+    current_field = None
+    for r in rows:
+        if r["field"] != current_field:
+            current_field = r["field"]
+            lines += [f"## Barplot for {current_field}", "",
+                      _image_ref(table_name, current_field), ""]
+        finding = r["finding"] if r["finding"] is not None else "(resolved)"
+        lines.append(
+            f"- `{r['check_code']}` {r['check_alias']}: {finding}"
+            f" — prevalence {r['prevalence']}, rank {r['rank']},"
+            f" status {r['status']}"
+        )
+    lines.append("")
+    return "\n".join(lines)
+
+
+def write_markdown_report(
+    report: DataFrame, directory: str, table_name: str
+) -> str:
+    """Write ``<table>_Report_Automatic.md`` (the reference's file name,
+    GeneratePersonReport_QueryWise.R:13) under ``directory``; returns the
+    path written."""
+    import os
+
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"{table_name}_Report_Automatic.md")
+    with open(path, "w") as fh:
+        fh.write(render_markdown_report(report, table_name))
+    return path

@@ -16,7 +16,17 @@ Statuses (the reference's lifecycle: new / persistent / resolved):
 - ``resolved``   — in previous only
 Plus the BA-001→CA-006 synthesis: a persistent issue whose numeric
 finding moved by more than ``drift_pct`` emits an extra drift issue row
-(code ``QF-CA-006``), mirroring resolvers/ba_001.py.
+(code ``QF-CA-006``), mirroring resolvers/ba_001.py. For ``QF-BA-001``
+rows specifically the reference resolver's full gate applies
+(ba_001.py:46-70): an asymmetric acceptance band (``drift_lo`` /
+``drift_hi``, defaulting to ±``drift_pct``), total-missingness edges —
+a cycle at exactly 100% ALWAYS fires regardless of the band — and an
+identical-finding early-out (``m_diff == 0`` → no drift row even when
+both cycles sit at 100%). One deliberate divergence: the reference
+stamps the synthesized row ``status='new'`` (ba_001.py:56); here it
+carries the dedicated ``drift`` status so downstream consumers (e.g.
+``generate_template``) can tell synthesized rows from genuinely new
+issues — both are excluded from next-cycle templates either way.
 
 Per-code refinement (the reference dispatches a resolver module per check
 code, resolve.py:165-199): three code-specific behaviors ride the same
@@ -70,9 +80,17 @@ def _pct(col: str):
 
 
 def reconcile(
-    current: DataFrame, previous: DataFrame, drift_pct: float = 10.0
+    current: DataFrame,
+    previous: DataFrame,
+    drift_pct: float = 10.0,
+    drift_lo: float | None = None,
+    drift_hi: float | None = None,
 ) -> DataFrame:
-    """current ⟗ previous on the issue key → status + drift synthesis."""
+    """current ⟗ previous on the issue key → status + drift synthesis.
+
+    ``drift_lo`` / ``drift_hi`` are the BA-001 resolver's asymmetric
+    acceptance band (ba_001.py thresholds_l/u); they default to
+    ±``drift_pct`` so symmetric callers see no change."""
     cur = current.select(
         *ISSUE_KEY,
         F.col("data_version").alias("cur_version"),
@@ -134,11 +152,29 @@ def reconcile(
         (F.col("issue_code") == "QF-BA-003") & persistent,
         F.col("prev_finding"),
     ).otherwise(F.col("cur_finding"))
-    drift = (
-        merged.filter(
-            (F.col("status") == "persistent")
-            & (F.abs(F.col("finding_delta_pct")) > drift_pct)
+    # Drift fire condition. Generic codes: symmetric |delta| > drift_pct.
+    # QF-BA-001 applies the reference resolver's exact gate
+    # (ba_001.py:46-70): fire when the delta leaves the asymmetric
+    # (drift_lo, drift_hi) band OR either cycle reads exactly 100%
+    # (total missingness is always escalated) — but never when the
+    # finding did not move at all (the resolver's m_diff == 0 early-out).
+    lo = -drift_pct if drift_lo is None else drift_lo
+    hi = drift_pct if drift_hi is None else drift_hi
+    delta = F.col("finding_delta_pct")
+    ba001_fire = (
+        (
+            (_pct("cur_finding") == 100.0)
+            | (_pct("prev_finding") == 100.0)
+            | (delta > hi)
+            | (delta < lo)
         )
+        & (delta != 0)
+    )
+    fire = F.when(
+        F.col("issue_code") == "QF-BA-001", ba001_fire
+    ).otherwise(F.abs(delta) > drift_pct)
+    drift = (
+        merged.filter((F.col("status") == "persistent") & fire)
         .select(
             "table",
             "field",

@@ -140,6 +140,55 @@ def test_reconcile_identical_runs_all_persistent_no_drift(spark):
     assert len(out) == 2
 
 
+def test_reconcile_ba001_full_missingness_edge_fires_inside_band(spark):
+    """resolvers/ba_001.py:64,69 — a BA-001 cycle at exactly 100% fires
+    the CA-006 drift row even when the delta sits INSIDE the acceptance
+    band; an identical non-BA-001 move does not."""
+    prev = _issues(spark, [
+        _row(version="r1", alias="empty_content", pct=100.0),
+        _row(version="r1", alias="other_code", code="QF-CA-011a", pct=100.0),
+    ])
+    cur = _issues(spark, [
+        _row(version="r2", alias="empty_content", pct=95.0),   # delta -5
+        _row(version="r2", alias="other_code", code="QF-CA-011a", pct=95.0),
+    ])
+    out = {r["alias"]: r for r in reconcile(cur, prev, drift_pct=10.0).collect()}
+    assert "empty_content_drift" in out           # 100% edge → always fire
+    assert out["empty_content_drift"]["finding_delta_pct"] == -5.0
+    assert "other_code_drift" not in out          # generic band: |−5| ≤ 10
+
+
+def test_reconcile_ba001_identical_100pct_finding_no_drift(spark):
+    """ba_001.py:48-50 — m_diff == 0 short-circuits BEFORE the 100%
+    edges: two cycles both at 100% emit no drift row."""
+    prev = _issues(spark, [_row(version="r1", pct=100.0)])
+    cur = _issues(spark, [_row(version="r2", pct=100.0)])
+    out = {r["alias"]: r for r in reconcile(cur, prev).collect()}
+    assert list(out) == ["empty_content"]
+    assert out["empty_content"]["status"] == "persistent"
+
+
+def test_reconcile_ba001_asymmetric_band(spark):
+    """ba_001.py thresholds_l/u are independent: with (lo=-5, hi=20) a
+    BA-001 delta of -7 escapes the band while +15 stays inside it."""
+    prev = _issues(spark, [
+        _row(version="r1", alias="worse_low", pct=50.0),
+        _row(version="r1", alias="ok_high", pct=50.0),
+    ])
+    cur = _issues(spark, [
+        _row(version="r2", alias="worse_low", pct=43.0),   # delta -7 < lo
+        _row(version="r2", alias="ok_high", pct=65.0),     # -5 < 15 < 20
+    ])
+    out = {
+        r["alias"]: r
+        for r in reconcile(
+            cur, prev, drift_pct=10.0, drift_lo=-5.0, drift_hi=20.0
+        ).collect()
+    }
+    assert "worse_low_drift" in out
+    assert "ok_high_drift" not in out
+
+
 # ------------------------------------------------- rules-as-data (CSV) --
 # Golden tests mirroring the reference's parser tests
 # (/root/reference/Tools/dqa/rules/rules_test.go:31-183): same CSV text
@@ -468,3 +517,40 @@ def test_read_secondary_report_all_file_versions(spark, tmp_path):
     back = read_secondary_report(spark, str(out))
     assert back.collect()[0]["file_version"] == 4
     assert back.count() == rep.count()
+
+
+def test_markdown_report_sink(spark, tmp_path):
+    """S6 report sink: the per-table markdown artifact mirrors the
+    reference's structure — '<table>_Report_Automatic.md' file name
+    (GeneratePersonReport_QueryWise.R:13), '## Barplot for <field>'
+    sections (:332), and '![field](../images/RPlot_<t>_<f>.png)' image
+    references (DocumentationModules.R:125-133). Rendering collects only
+    the composed O(rules)-row report, never corpus rows."""
+    from data_quality_analysis_spark.rules.report import (
+        render_markdown_report,
+        secondary_report,
+        write_markdown_report,
+    )
+
+    prev = _issues(spark, [_row(version="r1", pct=10.0)])
+    cur = _issues(spark, [
+        _row(version="r2", pct=11.0),
+        _row(version="r2", alias="pii_found", code="QF-PII-001", pct=2.0),
+    ])
+    rep = secondary_report(cur, prev, data_version="r2")
+
+    md = render_markdown_report(rep, "corpus")
+    assert md.startswith("# Data quality report for corpus")
+    assert "## Barplot for content" in md
+    assert "![content](../images/RPlot_corpus_content.png)" in md
+    assert "`QF-BA-001` empty_content:" in md
+    assert "status persistent" in md
+
+    path = write_markdown_report(rep, str(tmp_path / "reports"), "corpus")
+    assert path.endswith("corpus_Report_Automatic.md")
+    with open(path) as fh:
+        assert fh.read() == md
+    # a table with no issues still renders a valid (header-only) document
+    assert render_markdown_report(rep, "nosuch").startswith(
+        "# Data quality report for nosuch"
+    )
