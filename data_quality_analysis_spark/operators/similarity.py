@@ -310,6 +310,8 @@ def _seed_centroids(emb: DataFrame, k: int = N_CENTROIDS) -> np.ndarray:
     Plan shape is pinned by tests/test_plans.py::test_ivf_seed_no_global_sort.
     """
     rows = _seed_query(emb, k).collect()
+    if not rows:  # zero-row input: no cells to build (callers short-circuit)
+        return np.empty((0, 0), dtype=np.float64)
     mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
     return mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
@@ -364,6 +366,10 @@ def ivf_topk(
     sized for the sf0.01 driver check, not for production."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = _seed_centroids(emb, k=n_centroids)
+    if centroids.size == 0:  # empty corpus → empty result, same schema
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
     cell_udf = make_cell_udf(centroids)
     cells = emb.withColumn("cell", cell_udf(F.col("embedding")))
 

@@ -1,0 +1,47 @@
+"""Every exposed driver query must survive a zero-row input.
+
+Production edge the oracles can't see: a brand-new partition, a fully
+filtered date range, or a cold-start cycle hands the engine tables with
+the right SCHEMA and no rows. Operators must return an empty (or
+well-defined small) result — not raise — so 100 TB jobs don't die on
+their emptiest partition. Derived-view fixtures (fixtures.py), catalog
+thresholds, window functions, pandas-UDF stages, and the two-pass
+prefix sum in pack_bins all have degenerate-input paths exercised only
+here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    """A testdata directory with every table present but zero rows."""
+    d = tmp_path_factory.mktemp("sf_empty")
+    for f in os.listdir(SF_SMOKE):
+        if not f.endswith(".parquet"):
+            continue
+        df = spark.read.parquet(os.path.join(SF_SMOKE, f))
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(
+            str(d / f)
+        )
+    return str(d)
+
+
+def test_all_queries_handle_empty_input(spark, empty_sf_dir):
+    import __spark_entry__ as entry_mod
+
+    failures = {}
+    for name, fn in entry_mod.queries().items():
+        try:
+            n = fn(spark, empty_sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — collecting a report
+            failures[name] = f"{type(exc).__name__}: {exc}"
+            continue
+        assert n >= 0
+    assert not failures, f"queries crashed on empty input: {failures}"
