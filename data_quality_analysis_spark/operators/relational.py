@@ -148,6 +148,9 @@ def _daily_deltas(ev: DataFrame) -> DataFrame:
         ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # Unpartitioned window (WindowExec warns): intentional and bounded —
+    # it runs over the DAILY aggregate, O(days) rows at any corpus scale,
+    # never over raw events.
     w = Window.orderBy("bucket")
     return daily.select(
         "bucket",

@@ -45,3 +45,31 @@ def test_all_queries_handle_empty_input(spark, empty_sf_dir):
             continue
         assert n >= 0
     assert not failures, f"queries crashed on empty input: {failures}"
+
+
+@pytest.fixture(scope="module")
+def tiny_sf_dir(spark, tmp_path_factory):
+    """Every table cut to ONE row — exercises stddev-of-one (NULL)
+    arithmetic, single-document LSH banding, median-of-one, lag with no
+    predecessor, and joins whose FK partner row was cut away."""
+    d = tmp_path_factory.mktemp("sf_tiny")
+    for f in os.listdir(SF_SMOKE):
+        if not f.endswith(".parquet"):
+            continue
+        df = spark.read.parquet(os.path.join(SF_SMOKE, f))
+        df.limit(1).coalesce(1).write.mode("overwrite").parquet(str(d / f))
+    return str(d)
+
+
+def test_all_queries_handle_single_row_input(spark, tiny_sf_dir):
+    import __spark_entry__ as entry_mod
+
+    failures = {}
+    for name, fn in entry_mod.queries().items():
+        try:
+            n = fn(spark, tiny_sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — collecting a report
+            failures[name] = f"{type(exc).__name__}: {exc}"
+            continue
+        assert n >= 0
+    assert not failures, f"queries crashed on 1-row input: {failures}"
