@@ -1,0 +1,64 @@
+"""End-to-end smoke of the spark-submit deployment entry point.
+
+Runs ``python -m data_quality_analysis_spark`` in a SUBPROCESS — the
+exact module spark-submit executes (tools/submit.sh) — against a small
+parquet corpus: fresh run produces verdict output + lineage markers and
+a JSON report on stdout; an immediate rerun resumes (all buckets
+skipped); a bad input exits nonzero with the missing-columns message.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from data_quality_analysis_spark.corpus import corpus_view
+from tests.conftest import SF_SMOKE
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd=REPO):
+    env = {**os.environ, "PYTHONPATH": REPO}
+    # local[4] via spark-submit's conf route — the module itself sets none
+    env["PYSPARK_SUBMIT_ARGS"] = (
+        "--master local[4] --conf spark.sql.shuffle.partitions=4 "
+        "pyspark-shell"
+    )
+    return subprocess.run(
+        [sys.executable, "-m", "data_quality_analysis_spark", *args],
+        capture_output=True, text=True, timeout=600, cwd=cwd, env=env,
+    )
+
+
+def test_cli_run_then_resume(spark, tmp_path):
+    corpus_path = str(tmp_path / "corpus.parquet")
+    corpus_view(spark, SF_SMOKE).write.parquet(corpus_path)
+    out_dir = str(tmp_path / "out")
+
+    first = _run(["--input", corpus_path, "--output", out_dir,
+                  "--n-buckets", "8", "--batch-size", "4"])
+    assert first.returncode == 0, first.stderr[-2000:]
+    report = json.loads(first.stdout.strip().splitlines()[-1])
+    assert report["n_buckets"] == 8
+    assert len(report["ran"]) == 8 and len(report["skipped"]) == 0
+
+    verdicts = spark.read.parquet(f"{out_dir}/verdicts")
+    assert verdicts.count() == corpus_view(spark, SF_SMOKE).count()
+    assert "keep" in verdicts.columns
+
+    second = _run(["--input", corpus_path, "--output", out_dir,
+                   "--n-buckets", "8", "--batch-size", "4"])
+    assert second.returncode == 0, second.stderr[-2000:]
+    report2 = json.loads(second.stdout.strip().splitlines()[-1])
+    assert len(report2["ran"]) == 0 and len(report2["skipped"]) == 8
+
+
+def test_cli_rejects_input_missing_columns(spark, tmp_path):
+    bad = str(tmp_path / "bad.parquet")
+    spark.range(5).write.parquet(bad)
+    r = _run(["--input", bad, "--output", str(tmp_path / "o")])
+    assert r.returncode == 2
+    assert "missing required columns" in r.stderr
