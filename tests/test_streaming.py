@@ -214,3 +214,24 @@ def test_transform_with_state_lang_totals_accumulates(spark, tmp_path):
         corpus.unpersist()
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_empty_source_produces_no_output_and_no_crash(spark, tmp_path):
+    """Cold-start edge: an input directory with a schema but ZERO data
+    files (one empty parquet part) must complete the availableNow run
+    cleanly with an empty (or absent) output — the streaming analog of
+    the batch empty-input sweep (tests/test_empty_input.py)."""
+    import os
+
+    from data_quality_analysis_spark import streaming
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    corpus_view(spark, SF_SMOKE).limit(0).coalesce(1).write.parquet(src)
+
+    streaming.run_stream_available_now(spark, src, out, ckpt)
+    if os.path.isdir(out) and any(
+        f.endswith(".parquet") for f in os.listdir(out)
+    ):
+        assert spark.read.parquet(out).count() == 0
