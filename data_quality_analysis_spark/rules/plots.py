@@ -1,0 +1,279 @@
+"""Report plot sink: dependency-free SVG bar charts (SURVEY §2.1 S6).
+
+The reference renders per-field frequency barplots with ggplot and writes
+them next to the markdown report, which embeds them by file name
+(Library/CreatePlots.R:146-187 describeNominalField,
+:197-247 describeOrdinalField; Library/DocumentationModules.R:125-133
+get_image_name; Main/Level1/scripts/GeneratePersonReport_QueryWise.R:348-350).
+No plotting library ships in this environment, so the sink emits the
+charts as deterministic SVG built from plain strings — same data
+semantics (group-by frequency, NA dropped, percent labels
+``round(100*freq/total, 2)%``, title "<field>: Distribution", y label
+"<table> Count"), different rasterizer.
+
+Deliberate divergences from the ggplot styling (not the semantics):
+
+* One hue for every bar. The category identity is already carried by the
+  x-axis label; ggplot's fill-by-category rainbow encodes nothing and
+  stops being readable past ~8 bars.
+* Bars beyond ``max_bars`` fold into a single trailing "(other)" bar
+  instead of rendering unbounded category counts — the cap is explicit
+  in the xlab, never silent.
+
+Scale note: the only distributed work is one group-by-count; everything
+collected is O(min(categories, max_bars)) via a sorted ``limit`` (Spark
+plans it as TakeOrderedAndProject — no global sort), plus one scalar
+total. Content never reaches the driver.
+"""
+
+from __future__ import annotations
+
+import html
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+# Chart tokens (light surface). Single accent hue because every chart
+# here is a single series; text never wears the series color.
+_SURFACE = "#fcfcfb"
+_INK = "#0b0b0b"
+_INK_2 = "#52514e"
+_GRID = "#e7e6e2"
+_BAR = "#2a78d6"
+
+_FONT = "font-family='system-ui, sans-serif'"
+
+
+def get_image_name(table_name: str, field_name: str) -> str:
+    """DocumentationModules.R:125-133 naming, with the raster format the
+    sink actually produces."""
+    return f"RPlot_{table_name}_{field_name}.svg"
+
+
+def _fmt_count(v: float) -> str:
+    if v >= 1_000_000 and v % 100_000 == 0:
+        return f"{v / 1_000_000:g}M"
+    if v >= 10_000 and v % 1_000 == 0:
+        return f"{v / 1_000:g}k"
+    return f"{v:g}"
+
+
+def _bar_path(x: float, y: float, w: float, h: float, r: float = 4.0) -> str:
+    """Bar anchored to the baseline with rounded data-end (top) corners."""
+    r = min(r, w / 2, h)
+    return (
+        f"M{x:.2f},{y + h:.2f} v{-(h - r):.2f} "
+        f"q0,{-r:.2f} {r:.2f},{-r:.2f} h{w - 2 * r:.2f} "
+        f"q{r:.2f},0 {r:.2f},{r:.2f} v{h - r:.2f} z"
+    )
+
+
+def _y_ticks(max_v: float, n: int = 4) -> list[float]:
+    """n recessive gridline values at round steps covering max_v."""
+    if max_v <= 0:
+        return [0.0]
+    raw = max_v / n
+    mag = 10 ** max(0, len(str(int(raw))) - 1)
+    step = max(1.0, round(raw / mag) * mag or mag)
+    ticks, v = [], step
+    while v < max_v + step:
+        ticks.append(float(v))
+        v += step
+    return ticks[:n + 1]
+
+
+def barplot_svg(
+    pairs: list[tuple[str, float]],
+    *,
+    title: str,
+    xlab: str,
+    ylab: str,
+    width: int = 640,
+    height: int = 400,
+) -> str:
+    """Render (label, freq) pairs as a single-series SVG bar chart.
+
+    Deterministic: output bytes depend only on the arguments. Percent
+    labels mirror CreatePlots.R:171 (``round(100*Freq/sum, 2)%``); when
+    the chart is too crowded for one label per bar, only the five
+    largest bars are labeled (selective labeling, never none).
+    """
+    total = sum(f for _, f in pairs) or 1.0
+    max_v = max((f for _, f in pairs), default=0.0)
+    ticks = _y_ticks(max_v)
+    top = ticks[-1] if ticks else 1.0
+
+    m_left, m_right, m_top = 64, 16, 44
+    rotate = len(pairs) > 8 or any(len(lbl) > 7 for lbl, _ in pairs)
+    m_bot = 120 if rotate else 64
+    plot_w = width - m_left - m_right
+    plot_h = height - m_top - m_bot
+
+    n = max(1, len(pairs))
+    slot = plot_w / n
+    gap = max(2.0, slot * 0.15)
+    bar_w = max(1.0, slot - gap)
+    label_all = len(pairs) <= 20 and bar_w >= 24
+    top5 = {lbl for lbl, _ in sorted(pairs, key=lambda p: (-p[1], p[0]))[:5]}
+
+    e = html.escape
+    out = [
+        f"<svg xmlns='http://www.w3.org/2000/svg' width='{width}' "
+        f"height='{height}' viewBox='0 0 {width} {height}' role='img' "
+        f"aria-label='{e(title)}'>",
+        f"<rect width='{width}' height='{height}' fill='{_SURFACE}'/>",
+        f"<text x='{m_left}' y='24' {_FONT} font-size='14' "
+        f"font-weight='600' fill='{_INK}'>{e(title)}</text>",
+    ]
+    # Recessive grid + y tick labels.
+    for t in ticks:
+        y = m_top + plot_h * (1 - t / top)
+        out.append(
+            f"<line x1='{m_left}' y1='{y:.2f}' x2='{width - m_right}' "
+            f"y2='{y:.2f}' stroke='{_GRID}' stroke-width='1'/>"
+        )
+        out.append(
+            f"<text x='{m_left - 6}' y='{y + 4:.2f}' {_FONT} font-size='10' "
+            f"fill='{_INK_2}' text-anchor='end'>{_fmt_count(t)}</text>"
+        )
+    # Baseline.
+    base_y = m_top + plot_h
+    out.append(
+        f"<line x1='{m_left}' y1='{base_y:.2f}' x2='{width - m_right}' "
+        f"y2='{base_y:.2f}' stroke='{_INK_2}' stroke-width='1'/>"
+    )
+    for i, (lbl, freq) in enumerate(pairs):
+        x = m_left + i * slot + gap / 2
+        h = plot_h * (freq / top) if top else 0.0
+        if h > 0:
+            out.append(
+                f"<path d='{_bar_path(x, base_y - h, bar_w, h)}' "
+                f"fill='{_BAR}'/>"
+            )
+        if label_all or lbl in top5:
+            pct = round(100.0 * freq / total, 2)
+            out.append(
+                f"<text x='{x + bar_w / 2:.2f}' y='{base_y - h - 4:.2f}' "
+                f"{_FONT} font-size='10' fill='{_INK_2}' "
+                f"text-anchor='middle'>{pct:g}%</text>"
+            )
+        tx, ty = x + bar_w / 2, base_y + 14
+        if rotate:
+            out.append(
+                f"<text x='{tx:.2f}' y='{ty:.2f}' {_FONT} font-size='10' "
+                f"fill='{_INK}' text-anchor='end' "
+                f"transform='rotate(-90 {tx:.2f} {ty:.2f})'>{e(lbl)}</text>"
+            )
+        else:
+            out.append(
+                f"<text x='{tx:.2f}' y='{ty:.2f}' {_FONT} font-size='10' "
+                f"fill='{_INK}' text-anchor='middle'>{e(lbl)}</text>"
+            )
+    out.append(
+        f"<text x='{m_left + plot_w / 2:.2f}' y='{height - 8}' {_FONT} "
+        f"font-size='11' fill='{_INK}' text-anchor='middle'>{e(xlab)}</text>"
+    )
+    out.append(
+        f"<text x='16' y='{m_top + plot_h / 2:.2f}' {_FONT} font-size='11' "
+        f"fill='{_INK}' text-anchor='middle' "
+        f"transform='rotate(-90 16 {m_top + plot_h / 2:.2f})'>{e(ylab)}</text>"
+    )
+    out.append("</svg>")
+    return "\n".join(out)
+
+
+def _field_frequencies(
+    df: DataFrame, field_name: str, max_bars: int
+) -> tuple[list[tuple[str, float]], float]:
+    """Distributed group-by frequency for one field, NA dropped
+    (CreatePlots.R na.omit), top ``max_bars`` by (freq desc, label asc)
+    collected; returns (kept pairs, grand total incl. dropped tail)."""
+    freqs = (
+        df.filter(F.col(field_name).isNotNull())
+        .groupBy(F.col(field_name).cast("string").alias("label"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # Sorted limit → TakeOrderedAndProject: no global sort at scale.
+    kept = freqs.orderBy(F.desc("freq"), F.asc("label")).limit(max_bars).collect()
+    total_row = df.filter(F.col(field_name).isNotNull()).count()
+    return [(r["label"], float(r["freq"])) for r in kept], float(total_row)
+
+
+def describe_nominal_field(
+    df: DataFrame,
+    table_name: str,
+    field_name: str,
+    directory: str,
+    *,
+    max_bars: int = 30,
+) -> str | None:
+    """CreatePlots.R:146-187 analog: frequency barplot for a nominal
+    field, written as SVG under ``directory``; returns the path, or
+    ``None`` when no non-NA rows exist (the reference skips the file).
+
+    X order is lexicographic on the kept labels (R ``as.factor`` level
+    order); categories beyond ``max_bars`` fold into "(other)".
+    """
+    pairs, total = _field_frequencies(df, field_name, max_bars)
+    if not pairs:
+        return None
+    shown = sum(f for _, f in pairs)
+    pairs.sort(key=lambda p: p[0])
+    if total > shown:
+        pairs.append(("(other)", total - shown))
+    xlab = field_name if total <= shown else (
+        f"{field_name} (top {max_bars} of categories)"
+    )
+    svg = barplot_svg(
+        pairs,
+        title=f"{field_name}: Distribution",
+        xlab=xlab,
+        ylab=f"{table_name} Count",
+    )
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, get_image_name(table_name, field_name))
+    with open(path, "w") as fh:
+        fh.write(svg)
+    return path
+
+
+def describe_ordinal_field(
+    df: DataFrame,
+    table_name: str,
+    field_name: str,
+    directory: str,
+    *,
+    max_bars: int = 30,
+) -> tuple[str | None, str]:
+    """CreatePlots.R:197-247 analog: barplot in label order plus the
+    reference's "most frequent values" message (top-5 by freq desc,
+    ``<label> |count= <freq>`` rows, CreatePlots.R:236-243)."""
+    pairs, total = _field_frequencies(df, field_name, max_bars)
+    if not pairs:
+        return None, ""
+    by_freq = sorted(pairs, key=lambda p: (-p[1], p[0]))
+    msg = f"The most frequent values for {field_name} are: \n"
+    top = by_freq[: min(5, len(by_freq))]
+    msg += " ,\n ".join(f"{lbl} |count= {freq:g}" for lbl, freq in top)
+
+    def _order_key(p: tuple[str, float]):
+        try:
+            return (0, float(p[0]), p[0])
+        except ValueError:
+            return (1, 0.0, p[0])
+
+    pairs.sort(key=_order_key)
+    shown = sum(f for _, f in pairs)
+    if total > shown:
+        pairs.append(("(other)", total - shown))
+    svg = barplot_svg(
+        pairs,
+        title=f"{field_name}: Distribution",
+        xlab=f"{field_name} (Total: {len(pairs)})",
+        ylab=f"{table_name} Count",
+    )
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, get_image_name(table_name, field_name))
+    with open(path, "w") as fh:
+        fh.write(svg)
+    return path, msg

@@ -250,12 +250,16 @@ def write_secondary_report(df: DataFrame, path: str, mode: str = "overwrite") ->
 # render markdown is O(#issues), never O(corpus).
 
 
-def _image_ref(table_name: str, field: str) -> str:
-    """Library/DocumentationModules.R:125-133 naming, verbatim."""
-    return f"![{field}](../images/RPlot_{table_name}_{field}.png)"
+def _image_ref(table_name: str, field: str, ext: str = "png") -> str:
+    """Library/DocumentationModules.R:125-133 naming, verbatim; ``ext``
+    is "svg" when the bundled plot sink (rules/plots.py) rendered the
+    charts itself."""
+    return f"![{field}](../images/RPlot_{table_name}_{field}.{ext})"
 
 
-def render_markdown_report(report: DataFrame, table_name: str) -> str:
+def render_markdown_report(
+    report: DataFrame, table_name: str, image_ext: str = "png"
+) -> str:
     """Render one table's composed 16-column report as the reference's
     per-table markdown document (sections per field, finding lines,
     image references)."""
@@ -270,7 +274,7 @@ def render_markdown_report(report: DataFrame, table_name: str) -> str:
         if r["field"] != current_field:
             current_field = r["field"]
             lines += [f"## Barplot for {current_field}", "",
-                      _image_ref(table_name, current_field), ""]
+                      _image_ref(table_name, current_field, image_ext), ""]
         finding = r["finding"] if r["finding"] is not None else "(resolved)"
         lines.append(
             f"- `{r['check_code']}` {r['check_alias']}: {finding}"
@@ -294,3 +298,40 @@ def write_markdown_report(
     with open(path, "w") as fh:
         fh.write(render_markdown_report(report, table_name))
     return path
+
+
+def write_report_bundle(
+    report: DataFrame,
+    corpus: DataFrame,
+    directory: str,
+    table_name: str,
+    nominal_fields: list[str],
+) -> dict[str, str]:
+    """S6 end-to-end: the reference's report directory layout —
+    ``reports/<table>_Report_Automatic.md`` plus the ``images/`` charts
+    it embeds (GeneratePersonReport_QueryWise.R:332-350 writes the
+    markdown after CreatePlots.R has dropped the per-field barplots).
+
+    ``nominal_fields`` are columns of ``corpus`` to chart (the
+    reference's field loop); fields with no non-NA rows are skipped like
+    the reference. Returns {artifact name: path}. Distributed cost is
+    one group-by-count per field; nothing O(corpus) is collected.
+    """
+    import os
+
+    from data_quality_analysis_spark.rules.plots import describe_nominal_field
+
+    written: dict[str, str] = {}
+    images_dir = os.path.join(directory, "images")
+    for field in nominal_fields:
+        path = describe_nominal_field(corpus, table_name, field, images_dir)
+        if path is not None:
+            written[f"plot:{field}"] = path
+
+    reports_dir = os.path.join(directory, "reports")
+    os.makedirs(reports_dir, exist_ok=True)
+    md_path = os.path.join(reports_dir, f"{table_name}_Report_Automatic.md")
+    with open(md_path, "w") as fh:
+        fh.write(render_markdown_report(report, table_name, image_ext="svg"))
+    written["report"] = md_path
+    return written

@@ -1,0 +1,138 @@
+"""S6 plot sink: SVG barplot semantics vs CreatePlots.R.
+
+The chart color system is the skill-validated single-hue instance
+(#2a78d6 on #fcfcfb — categorical slot 1 of a pre-validated palette;
+one series per chart, so no adjacent-pair constraints apply). These
+tests pin the DATA semantics: group-by frequency, NA dropped, percent
+labels round(100*f/total, 2), reference titles/labels/file names, and
+byte determinism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from data_quality_analysis_spark.rules.plots import (
+    barplot_svg,
+    describe_nominal_field,
+    describe_ordinal_field,
+    get_image_name,
+)
+
+
+def test_barplot_svg_deterministic_and_labeled():
+    pairs = [("go", 30.0), ("py", 50.0), ("rs", 20.0)]
+    svg = barplot_svg(pairs, title="lang: Distribution",
+                      xlab="lang", ylab="corpus Count")
+    assert svg == barplot_svg(pairs, title="lang: Distribution",
+                              xlab="lang", ylab="corpus Count")
+    assert svg.startswith("<svg ") and svg.endswith("</svg>")
+    assert "lang: Distribution" in svg
+    assert "corpus Count" in svg
+    # percent labels mirror CreatePlots.R:171 round(100*f/total, 2)
+    for pct in ("30%", "50%", "20%"):
+        assert f">{pct}</text>" in svg
+    # three bars, one hue
+    assert svg.count("fill='#2a78d6'") == 3
+    # text never wears the series color
+    assert "<text" in svg and "<text fill='#2a78d6'" not in svg
+
+
+def test_barplot_svg_crowded_labels_selective():
+    pairs = [(f"cat{i:02d}", float(100 - i)) for i in range(25)]
+    svg = barplot_svg(pairs, title="t", xlab="x", ylab="y")
+    # >8 bars → rotated tick labels; every category still present
+    assert "rotate(-90" in svg
+    for lbl, _ in pairs:
+        assert f">{lbl}</text>" in svg
+    # selective percent labels: only the 5 largest bars
+    assert svg.count("%</text>") == 5
+
+
+def test_barplot_svg_escapes_markup():
+    svg = barplot_svg([("<b>&x", 1.0)], title="a<b", xlab="x&y", ylab="y")
+    assert "<b>" not in svg.replace("<b>&x", "")  # no raw tag injected
+    assert "&lt;b&gt;&amp;x" in svg and "a&lt;b" in svg
+
+
+def _corpus(spark):
+    rows = [("py", 1), ("py", 2), ("go", 3), ("rs", 4), (None, 5)]
+    return spark.createDataFrame(rows, "lang string, id int")
+
+
+def test_describe_nominal_field(spark, tmp_path):
+    path = describe_nominal_field(_corpus(spark), "corpus", "lang",
+                                  str(tmp_path))
+    assert path is not None
+    assert os.path.basename(path) == get_image_name("corpus", "lang")
+    assert path.endswith("RPlot_corpus_lang.svg")
+    with open(path) as fh:
+        svg = fh.read()
+    # NA row dropped (CreatePlots.R na.omit): total is 4, so py = 50%
+    assert ">50%</text>" in svg
+    # lexicographic x order (R as.factor levels): go before py before rs
+    assert svg.index(">go</text>") < svg.index(">py</text>") < \
+        svg.index(">rs</text>")
+
+
+def test_describe_nominal_field_all_na_skips_file(spark, tmp_path):
+    df = spark.createDataFrame([(None, 1)], "lang string, id int")
+    assert describe_nominal_field(df, "corpus", "lang", str(tmp_path)) is None
+    assert not os.path.exists(tmp_path / get_image_name("corpus", "lang"))
+
+
+def test_describe_nominal_field_caps_with_other(spark, tmp_path):
+    rows = [(f"c{i:03d}", j) for i in range(40) for j in range(i + 1)]
+    df = spark.createDataFrame(rows, "lang string, id int")
+    path = describe_nominal_field(df, "corpus", "lang", str(tmp_path),
+                                  max_bars=10)
+    with open(path) as fh:
+        svg = fh.read()
+    # top 10 kept (largest freqs = c030..c039), remainder folded, not silent
+    assert ">c039</text>" in svg and ">c030</text>" in svg
+    assert ">c029</text>" not in svg
+    assert ">(other)</text>" in svg
+    assert "top 10 of" in svg
+    # percents still computed over the FULL non-NA total
+    total = sum(i + 1 for i in range(40))
+    pct = round(100.0 * 40 / total, 2)
+    assert f">{pct:g}%</text>" in svg
+
+
+def test_describe_ordinal_field_message(spark, tmp_path):
+    rows = [("2", 0)] * 3 + [("10", 0)] * 5 + [("1", 0)] * 2
+    df = spark.createDataFrame(rows, "bucket string, pad int")
+    path, msg = describe_ordinal_field(df, "corpus", "bucket", str(tmp_path))
+    assert path.endswith("RPlot_corpus_bucket.svg")
+    # CreatePlots.R:236-243 message: top-5 by freq desc, "|count=" rows
+    assert msg.startswith("The most frequent values for bucket are: \n")
+    assert "10 |count= 5" in msg
+    assert msg.index("10 |count= 5") < msg.index("2 |count= 3") < \
+        msg.index("1 |count= 2")
+    with open(path) as fh:
+        svg = fh.read()
+    # numeric-aware axis order: 1, 2, 10 (not lexicographic "1","10","2")
+    assert svg.index(">1</text>") < svg.index(">2</text>") < \
+        svg.index(">10</text>")
+
+
+def test_write_report_bundle(spark, tmp_path):
+    from data_quality_analysis_spark.rules.report import write_report_bundle
+    from tests.test_issue_lifecycle import _issues, _row
+
+    prev = _issues(spark, [_row(version="r1", pct=10.0)])
+    cur = _issues(spark, [_row(version="r2", pct=11.0)])
+    from data_quality_analysis_spark.rules.report import secondary_report
+
+    rep = secondary_report(cur, prev, data_version="r2")
+    corpus = _corpus(spark)
+
+    written = write_report_bundle(rep, corpus, str(tmp_path), "corpus",
+                                  ["lang"])
+    assert set(written) == {"plot:lang", "report"}
+    with open(written["report"]) as fh:
+        md = fh.read()
+    # markdown references the svg artifacts the bundle actually wrote
+    assert "![content](../images/RPlot_corpus_content.svg)" in md
+    assert written["plot:lang"].endswith("images/RPlot_corpus_lang.svg")
+    assert os.path.exists(written["plot:lang"])
