@@ -1,0 +1,154 @@
+"""Every exposed driver query must survive hostile file content.
+
+A 10^12-file code corpus contains files the happy-path fixtures never
+show: NUL and control bytes, single lines hundreds of KB long, one
+unbroken multi-hundred-KB token, thousands of blank lines, bidi/CJK/
+combining/zero-width Unicode, whitespace-only bodies, regex
+metacharacter floods, PII-dense logs, CRLF line endings. The regex
+scrub, tokenizers, shinglers, language-ID char censuses, and window
+operators all see these here once, at small scale, so a 100 TB run
+doesn't die on its weirdest file.
+
+Also pins two semantic invariants on this corpus:
+* PII-dense content is actually scrubbed (span counts reflect every hit).
+* A clean file round-trips byte-identical (sha256 pass-through — the
+  north rule's per-row invariant) even when the content is Unicode soup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+# Plant branches in corpus.CORPUS_SELECT that REPLACE (not append to)
+# the document text; hostile payloads must dodge these so the hostile
+# bytes actually flow through the pipeline.
+_REPLACING_MODS = ((97, 3), (41, 9), (83, 6))
+# Appending branches + the lang-nulling branch; the pass-through doc
+# must dodge ALL branches so its corpus content is exactly its text.
+_ALL_MODS = _REPLACING_MODS + ((89, 5), (13, 1), (17, 2), (19, 3), (23, 4))
+
+
+def _pick_ids(n: int, mods, start: int = 1_000_000) -> list[int]:
+    out, i = [], start
+    while len(out) < n:
+        if all(i % m != r for m, r in mods):
+            out.append(i)
+        i += 1
+    return out
+
+
+HOSTILE_TEXTS = {
+    "nul_ctrl": "int main() {\x00\x01\x02\x7f}\n\ttab\rcarriage\x1b[0m",
+    "huge_line": "x = 1; " * 40_000,  # ~280 KB, one line
+    "huge_token": "A" * 150_000,  # one unbroken token
+    "many_blank": "\n" * 5_000,
+    "unicode_soup": (
+        "hélló ​‍zwj 👨‍👩‍👧‍👦 مرحبا بالعالم בדיקה "
+        "你好世界 ｆｕｌｌｗｉｄｔｈ 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 ±×÷  line-sep"
+    ),
+    "ws_only": " \t\r\n \t ",
+    "regex_specials": ".*+?[](){}|^$\\" * 300,
+    "pii_dense": "\n".join(
+        f"user{i}@spam.example.net logged in from 10.1.{i % 256}.7"
+        for i in range(400)
+    ),
+    "crlf": "line one\r\nline two\r\nline three\r",
+    "quote_soup": '"' * 1000 + "'" * 1000 + "`" * 1000,
+}
+
+
+@pytest.fixture(scope="module")
+def hostile_sf_dir(spark, tmp_path_factory):
+    """SF_SMOKE with ``documents`` rebuilt as 40 real rows + the hostile
+    payloads above (+ one clean Unicode pass-through row); every other
+    table copied unchanged."""
+    d = tmp_path_factory.mktemp("sf_hostile")
+    for f in os.listdir(SF_SMOKE):
+        if not f.endswith(".parquet") or f == "documents.parquet":
+            continue
+        spark.read.parquet(os.path.join(SF_SMOKE, f)).write.mode(
+            "overwrite"
+        ).parquet(str(d / f))
+
+    base = (
+        spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+        .orderBy("doc_id")
+        .limit(40)
+    )
+    ids = _pick_ids(len(HOSTILE_TEXTS), _REPLACING_MODS)
+    rows = [
+        (i, text, lang, "hostile", len(text))
+        for (i, (name, text)), lang in zip(
+            zip(ids, sorted(HOSTILE_TEXTS.items())),
+            ["en", "zz", "", "de", None, "fr", "en", "es", "en", "fr"],
+        )
+    ]
+    # pass-through doc: dodges every plant branch, contains no scrub
+    # target → its corpus content must round-trip sha256-identical
+    pass_id = _pick_ids(1, _ALL_MODS, start=2_000_000)[0]
+    rows.append((pass_id, HOSTILE_TEXTS["unicode_soup"], "en", "clean",
+                 len(HOSTILE_TEXTS["unicode_soup"])))
+    hostile = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    base.unionByName(hostile).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d), {name: i for i, name in zip(ids, sorted(HOSTILE_TEXTS))}, pass_id
+
+
+def test_all_queries_handle_hostile_content(spark, hostile_sf_dir):
+    import __spark_entry__ as entry_mod
+
+    sf_dir, _, _ = hostile_sf_dir
+    failures = {}
+    for name, fn in entry_mod.queries().items():
+        try:
+            n = fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — collecting a report
+            failures[name] = f"{type(exc).__name__}: {exc}"
+            continue
+        assert n >= 0
+    assert not failures, f"queries crashed on hostile content: {failures}"
+
+
+def test_pii_dense_content_is_scrubbed(spark, hostile_sf_dir):
+    import __spark_entry__ as entry_mod
+
+    sf_dir, ids, _ = hostile_sf_dir
+    path = f"src/f{ids['pii_dense']}"
+    row = (
+        entry_mod.queries()["qf_scrubbed"](spark, sf_dir)
+        .filter(F.col("path").startswith(path))
+        .collect()
+    )
+    assert len(row) == 1
+    # 400 emails + 400 IPs, every one counted and replaced (a plant
+    # branch may append one more — never fewer)
+    assert row[0]["n_pii_spans"] >= 800
+
+
+def test_clean_unicode_passthrough_sha256(spark, hostile_sf_dir):
+    """North-rule invariant: content without scrub targets round-trips
+    byte-identical through the scrub stage — including multi-codepoint
+    Unicode. The expected sha is computed OUTSIDE Spark."""
+    import __spark_entry__ as entry_mod
+
+    sf_dir, _, pass_id = hostile_sf_dir
+    expected = hashlib.sha256(
+        HOSTILE_TEXTS["unicode_soup"].encode("utf-8")
+    ).hexdigest()
+    row = (
+        entry_mod.queries()["qf_scrubbed"](spark, sf_dir)
+        .filter(F.col("path").startswith(f"src/f{pass_id}"))
+        .collect()
+    )
+    assert len(row) == 1
+    assert row[0]["n_pii_spans"] == 0 and row[0]["n_blocklist"] == 0
+    assert row[0]["scrubbed_sha"] == expected
