@@ -160,6 +160,57 @@ def run_windowed_counts_available_now(
     q.awaitTermination()
 
 
+# ------------------------------------- bounded-horizon streaming dedup --
+def dedup_stream(
+    df: DataFrame, ts_col: str = "ingest_ts", horizon: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state
+    (``dropDuplicatesWithinWatermark``): a row whose content sha256 was
+    already seen within the event-time ``horizon`` is dropped; the state
+    entry for a key is evicted once the watermark passes its expiry, so
+    an unbounded stream holds only O(distinct keys per horizon) state.
+
+    This is the principled streaming complement to the module-doc rule
+    that corpus-GLOBAL dedup stays in batch compaction: the common
+    production duplicate — the same snapshot re-ingested minutes later
+    by a retried loader — is caught online; a duplicate arriving after
+    the horizon is re-emitted by design and left to the batch layer
+    (dedup.dedup_keep_first). Guarantee: duplicates within ``horizon``
+    of each other are dropped exactly; farther apart, at-least-once.
+    """
+    return (
+        df.withColumn("content_sha", F.sha2(F.col("content"), 256))
+        .withWatermark(ts_col, horizon)
+        .dropDuplicatesWithinWatermark(["content_sha"])
+    )
+
+
+def run_dedup_stream_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    ts_col: str = "ingest_ts",
+    horizon: str = "1 hour",
+) -> None:
+    """Incremental deduped ingest: each invocation processes the unseen
+    input files, appends first-seen-in-horizon rows to the parquet sink,
+    and persists the dedup state + watermark in the checkpoint so the
+    horizon spans invocations."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    q = (
+        dedup_stream(src, ts_col, horizon)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ------------------------------------------------- stateful aggregation --
 REPO_STATS_SCHEMA = StructType(
     [

@@ -235,3 +235,64 @@ def test_stream_empty_source_produces_no_output_and_no_crash(spark, tmp_path):
         f.endswith(".parquet") for f in os.listdir(out)
     ):
         assert spark.read.parquet(out).count() == 0
+
+
+def test_stream_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """Bounded-horizon streaming dedup semantics across incremental
+    invocations: a duplicate within the horizon is dropped (including
+    across runs — state lives in the checkpoint), and a duplicate
+    arriving after the watermark evicted its key is re-emitted — the
+    bounded-state guarantee, with corpus-global dedup left to batch."""
+    import datetime
+    import os
+
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("repo", StringType()),
+        StructField("content", StringType()),
+        StructField("ingest_ts", TimestampType()),
+    ])
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [(r, c, datetime.datetime.fromisoformat(t)) for r, c, t in rows],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        streaming.run_dedup_stream_available_now(
+            spark, src, out, ckpt, schema, horizon="1 hour"
+        )
+
+    # run 1: same content twice within the horizon + one unique row
+    write_batch([
+        ("r1", "dup body", "2026-01-01T10:00:00"),
+        ("r2", "dup body", "2026-01-01T10:05:00"),
+        ("r3", "unique a", "2026-01-01T10:06:00"),
+    ])
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert got.filter(F.col("content") == "dup body").count() == 1
+
+    # run 2: a fresh row far in the future advances the watermark to
+    # 12:00, evicting "dup body"'s state (expiry ≈ 11:00)
+    write_batch([("r4", "fresh b", "2026-01-01T13:00:00")])
+    run()
+    assert spark.read.parquet(out).count() == 3
+
+    # run 3: "dup body" again, after eviction → re-emitted by design
+    write_batch([("r5", "dup body", "2026-01-01T12:30:00")])
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 4
+    assert got.filter(F.col("content") == "dup body").count() == 2
+    # the dedup key column is exposed on the output
+    assert "content_sha" in got.columns
