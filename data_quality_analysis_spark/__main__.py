@@ -37,7 +37,76 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=16,
                    help="buckets per Spark job")
     p.add_argument("--data-version", default="r1")
+    p.add_argument("--report-dir", default=None,
+                   help="also compose the cycle's issue report from the "
+                        "written verdicts: 16-column FileVersion4 CSV + "
+                        "markdown report + SVG barplots (reports/ and "
+                        "images/ under this dir)")
+    p.add_argument("--prev-issues", default=None,
+                   help="previous cycle's issue rows (parquet, 8-column "
+                        "issue shape) for lifecycle reconcile; omitted → "
+                        "every issue is 'new'")
+    p.add_argument("--next-version", default=None,
+                   help="also emit the next cycle's blank report template "
+                        "stamped with this data version (the "
+                        "generate-templates analog); requires --report-dir")
     return p
+
+
+def emit_report_artifacts(
+    spark: SparkSession,
+    output_dir: str,
+    report_dir: str,
+    data_version: str,
+    prev_issues_path: str | None,
+    next_version: str | None,
+) -> dict[str, str]:
+    """Post-run report composition (the Go CLI's generate/query side of
+    the house): written verdicts → rates → issues → reconcile vs the
+    previous cycle → 16-column report, emitted as the FileVersion4 CSV,
+    the markdown + SVG chart bundle, and (optionally) the next cycle's
+    blank template. All inputs are the O(rules)-row issue frames plus
+    one single-pass agg over the verdict parquet."""
+    import os
+
+    from data_quality_analysis_spark.lineage import read_verdicts
+    from data_quality_analysis_spark.rules.catalog import default_catalog
+    from data_quality_analysis_spark.rules.report import (
+        generate_template,
+        secondary_report,
+        write_report_bundle,
+        write_secondary_report,
+    )
+    from data_quality_analysis_spark.rules.verdict import (
+        issues_from_rates,
+        rule_rates_from_verdicts,
+    )
+
+    cat = default_catalog()
+    verdicts = read_verdicts(spark, output_dir)
+    rates = rule_rates_from_verdicts(verdicts, cat)
+    cur = issues_from_rates(spark, rates, cat, data_version=data_version)
+    prev = (
+        spark.read.parquet(prev_issues_path)
+        if prev_issues_path
+        else cur.limit(0)
+    )
+    rep = secondary_report(cur, prev, data_version=data_version)
+
+    written = write_report_bundle(
+        rep, verdicts, report_dir, "corpus",
+        nominal_fields=["detected_lang", "keep"],
+    )
+    issues_csv = os.path.join(report_dir, "issues")
+    write_secondary_report(rep, issues_csv)
+    written["issues_csv"] = issues_csv
+    if next_version:
+        template_csv = os.path.join(report_dir, "next_cycle_template")
+        write_secondary_report(
+            generate_template(rep, data_version=next_version), template_csv
+        )
+        written["template_csv"] = template_csv
+    return written
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -46,6 +115,9 @@ def main(argv: list[str] | None = None) -> int:
     from data_quality_analysis_spark.sources import read_corpus
 
     args = build_parser().parse_args(argv)
+    if args.next_version and not args.report_dir:
+        print("--next-version requires --report-dir", file=sys.stderr)
+        return 2
     spark = SparkSession.builder.appName("dqa-quality-filter").getOrCreate()
     corpus = read_corpus(spark, args.input)
     missing = [c for c in REQUIRED_COLS if c not in corpus.columns]
@@ -60,12 +132,18 @@ def main(argv: list[str] | None = None) -> int:
         batch_size=args.batch_size,
         data_version=args.data_version,
     )
-    print(json.dumps({
+    out = {
         "n_buckets": report.n_buckets,
         "ran": report.ran,
         "skipped": report.skipped,
         "wall_sec": report.wall_sec,
-    }))
+    }
+    if args.report_dir:
+        out["report_artifacts"] = emit_report_artifacts(
+            spark, args.output, args.report_dir, args.data_version,
+            args.prev_issues, args.next_version,
+        )
+    print(json.dumps(out))
     return 0
 
 

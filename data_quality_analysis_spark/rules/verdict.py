@@ -39,15 +39,10 @@ def with_verdict(df: DataFrame, catalog: RuleCatalog) -> DataFrame:
     )
 
 
-def rule_rates(df: DataFrame, catalog: RuleCatalog) -> DataFrame:
-    """Single-pass violation rates: one agg, then unpivot to
-    (rule_name, violations, total, pct). Rounded 2dp before thresholding,
-    matching the reference's round-then-compare order
-    (/root/reference/Library/MissData.R:25-28)."""
-    aggs = [F.count(F.lit(1)).alias("_total")] + [
-        F.sum(F.col(f"viol_{r.name}").cast("long")).alias(r.name) for r in catalog
-    ]
-    wide = df.agg(*aggs)
+def _unpivot_rates(wide: DataFrame, catalog: RuleCatalog) -> DataFrame:
+    """(one wide agg row) → (rule_name, violations, total, pct); rounded
+    2dp before thresholding, matching the reference's round-then-compare
+    order (/root/reference/Library/MissData.R:25-28)."""
     stack_expr = ", ".join(f"'{r.name}', {r.name}" for r in catalog)
     return wide.select(
         F.col("_total").alias("total"),
@@ -58,6 +53,31 @@ def rule_rates(df: DataFrame, catalog: RuleCatalog) -> DataFrame:
         "total",
         F.round(F.col("violations") * 100.0 / F.col("total"), 2).alias("pct"),
     )
+
+
+def rule_rates(df: DataFrame, catalog: RuleCatalog) -> DataFrame:
+    """Single-pass violation rates over the staged frame: one agg over
+    the ``viol_*`` flag columns, then unpivot."""
+    aggs = [F.count(F.lit(1)).alias("_total")] + [
+        F.sum(F.col(f"viol_{r.name}").cast("long")).alias(r.name) for r in catalog
+    ]
+    return _unpivot_rates(df.agg(*aggs), catalog)
+
+
+def rule_rates_from_verdicts(df: DataFrame, catalog: RuleCatalog) -> DataFrame:
+    """``rule_rates`` over WRITTEN verdict rows: the persisted output
+    (lineage.py) carries ``rules_violated`` (array<string>) instead of
+    the per-rule ``viol_*`` flags, so rates are recovered from array
+    membership. Same single-pass map-side-combinable agg shape; used by
+    the CLI's post-run report composition, where re-running the rule
+    stages just to re-derive flags would double the pipeline cost."""
+    aggs = [F.count(F.lit(1)).alias("_total")] + [
+        F.sum(
+            F.array_contains("rules_violated", r.name).cast("long")
+        ).alias(r.name)
+        for r in catalog
+    ]
+    return _unpivot_rates(df.agg(*aggs), catalog)
 
 
 def rule_rates_by_scope(

@@ -62,3 +62,52 @@ def test_cli_rejects_input_missing_columns(spark, tmp_path):
     r = _run(["--input", bad, "--output", str(tmp_path / "o")])
     assert r.returncode == 2
     assert "missing required columns" in r.stderr
+
+
+def test_cli_report_artifacts(spark, tmp_path):
+    """--report-dir composes the full artifact set from the written
+    verdicts: FileVersion4 issues CSV, markdown report referencing the
+    SVG charts the run actually emitted, and (with --next-version) the
+    next cycle's blank template."""
+    corpus_path = str(tmp_path / "corpus.parquet")
+    corpus_view(spark, SF_SMOKE).write.parquet(corpus_path)
+    out_dir = str(tmp_path / "out")
+    rep_dir = str(tmp_path / "rep")
+
+    r = _run(["--input", corpus_path, "--output", out_dir,
+              "--n-buckets", "4", "--batch-size", "4",
+              "--data-version", "r1",
+              "--report-dir", rep_dir, "--next-version", "r2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    arts = report["report_artifacts"]
+    assert {"report", "issues_csv", "template_csv"} <= set(arts)
+
+    with open(arts["report"]) as fh:
+        md = fh.read()
+    assert md.startswith("# Data quality report for corpus")
+    # charts written for both requested fields; markdown uses svg refs
+    for f in ("detected_lang", "keep"):
+        assert os.path.exists(
+            os.path.join(rep_dir, "images", f"RPlot_corpus_{f}.svg")
+        )
+    assert "../images/RPlot_corpus_content.svg" in md
+
+    from data_quality_analysis_spark.rules.report import read_secondary_report
+
+    issues = read_secondary_report(spark, arts["issues_csv"])
+    assert issues.count() > 0
+    assert issues.filter(issues.status == "new").count() == issues.count()
+    # first cycle: nothing persistent/under-review to carry forward →
+    # the template is the blank 16-column skeleton (copy-persistent
+    # semantics, generate/cmd.go:106-130)
+    tmpl = read_secondary_report(spark, arts["template_csv"])
+    assert tmpl.count() == 0
+    assert "data_version" in tmpl.columns
+
+
+def test_cli_next_version_requires_report_dir(spark, tmp_path):
+    r = _run(["--input", str(tmp_path / "x"), "--output", str(tmp_path / "o"),
+              "--next-version", "r2"])
+    assert r.returncode == 2
+    assert "--next-version requires --report-dir" in r.stderr

@@ -392,3 +392,22 @@ def test_catalog_legacy_list_json_still_loads():
     assert r.bounds_for("fr") == (None, 0.5)
     assert r.bounds_for("en") == (None, 5.0)
     assert r.bounds_for(None) == (None, 5.0)
+
+
+def test_rule_rates_from_verdicts_matches_staged_rates(spark):
+    """The CLI recovers rates from the PERSISTED verdict rows (array
+    membership in rules_violated) rather than re-running the rule
+    stages; both routes must produce identical (rule, violations, total,
+    pct) rows."""
+    from data_quality_analysis_spark.rules.catalog import default_catalog
+    from data_quality_analysis_spark.rules.verdict import (
+        rule_rates,
+        rule_rates_from_verdicts,
+    )
+
+    cat = default_catalog()
+    staged = run_rules(corpus_view(spark, SF_SMOKE))
+    a = {tuple(r) for r in rule_rates(staged, cat).collect()}
+    written_shape = staged.select("repo", "path", "rules_violated")
+    b = {tuple(r) for r in rule_rates_from_verdicts(written_shape, cat).collect()}
+    assert a == b
