@@ -314,6 +314,30 @@ def _qf_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report_query(spark, _qf_issue_lifecycle(spark, sf_dir), _REPORT_SQL)
 
 
+# Exact all-pairs cosine over the planted-embeddings fixture — the
+# shared pair CTE for BOTH sim_embedding_near_dup (pairs) and
+# sim_embedding_clusters (recursive transitive closure over the same
+# pair graph). LSH recall is exactly 1.0 on this fixture (planted copies
+# share every band bucket; organic cosines stay below threshold), so the
+# bucketed Spark plans hash-match brute force.
+_EMB_PAIRS_CTE = """planted AS ({planted}),
+            n AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM planted),
+            emb_pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(
+                       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (a.nrm * b.nrm), 6) AS cosine
+              FROM n a JOIN n b ON a.vec_id < b.vec_id
+              WHERE round(
+                       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (a.nrm * b.nrm), 6) >= 0.95)"""
+
 _JACCARD_SQL = r"""
             WITH norm AS (
               SELECT doc_id,
@@ -430,6 +454,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_union_distinct": relational.union_distinct_keys,
     "op_format_check": relational.format_check,
     "op_pct_of_total": relational.pct_of_total,
+    "sim_embedding_clusters": similarity.embedding_clusters,
 }
 
 
@@ -745,24 +770,23 @@ def oracle_sql() -> dict[str, str]:
                    min(path) AS keeper_id
             FROM hashed GROUP BY content_hash HAVING count(*) > 1
         """,
-        "sim_embedding_near_dup": f"""
-            WITH planted AS ({_PLANTED_EMB}),
-            n AS (
-              SELECT vec_id, embedding,
-                     sqrt(list_sum(list_transform(embedding,
-                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-              FROM planted)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(
-                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                     / (a.nrm * b.nrm), 6) AS cosine
-            FROM n a JOIN n b ON a.vec_id < b.vec_id
-            WHERE round(
-                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                     / (a.nrm * b.nrm), 6) >= 0.95
-        """,
+        "sim_embedding_near_dup": (
+            f"WITH {_EMB_PAIRS_CTE.format(planted=_PLANTED_EMB)}\n"
+            "            SELECT id_a, id_b, cosine FROM emb_pairs"
+        ),
+        "sim_embedding_clusters": (
+            f"WITH RECURSIVE {_EMB_PAIRS_CTE.format(planted=_PLANTED_EMB)},\n"
+            """            edges AS (
+              SELECT id_a AS s, id_b AS d FROM emb_pairs
+              UNION
+              SELECT id_b AS s, id_a AS d FROM emb_pairs),
+            reach(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+            SELECT s AS vec_id, least(s, min(d)) AS cluster_id
+            FROM reach GROUP BY s"""
+        ),
         "text_langid": oracles.langid_documents_oracle(),
         "text_ngram_perplexity": oracles.ngram_perplexity_oracle(),
         "dedup_ngram_jaccard": _JACCARD_SQL,

@@ -293,6 +293,26 @@ def embedding_near_dup(
     )
 
 
+def embedding_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """Semantic-dedup finisher: connected components over the embedding
+    near-dup pair graph → (vec_id, cluster_id = min vec_id in the
+    component). The embedding analog of dedup.dedup_clusters — LSH emits
+    PAIRS, but "keep one per semantic duplicate set" needs the
+    transitive closure; reuses the min-label-propagation CC (pointer
+    jumping, O(log diameter) rounds) so the scale story is identical.
+    Singletons (no near-dup edge) form no cluster and are excluded."""
+    from data_quality_analysis_spark.operators.dedup import connected_components
+
+    pairs = embedding_near_dup(spark, sf_dir, threshold)
+    return (
+        connected_components(pairs, src="id_a", dst="id_b")
+        .withColumnRenamed("doc_id", "vec_id")
+        .orderBy("vec_id")
+    )
+
+
 # ------------------------------------------------------------------ IVF --
 N_CENTROIDS = 16
 
