@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import html
 import os
+import re
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -42,6 +43,17 @@ _GRID = "#e7e6e2"
 _BAR = "#2a78d6"
 
 _FONT = "font-family='system-ui, sans-serif'"
+
+# Code points illegal in XML 1.0 even when escaped (raw control bytes
+# can reach labels via hostile file content / category values).
+_XML_INVALID = re.compile(
+    "[^\x09\x0a\x0d\x20-퟿-�\U00010000-\U0010ffff]"
+)
+
+
+def _esc(s: str) -> str:
+    """Escape markup AND replace XML-illegal code points with U+FFFD."""
+    return html.escape(_XML_INVALID.sub("�", s))
 
 
 def get_image_name(table_name: str, field_name: str) -> str:
@@ -101,7 +113,8 @@ def barplot_svg(
     total = sum(f for _, f in pairs) or 1.0
     max_v = max((f for _, f in pairs), default=0.0)
     ticks = _y_ticks(max_v)
-    top = ticks[-1] if ticks else 1.0
+    # all-zero frequencies: keep the frame renderable, bars have height 0
+    top = (ticks[-1] if ticks else 0.0) or 1.0
 
     m_left, m_right, m_top = 64, 16, 44
     rotate = len(pairs) > 8 or any(len(lbl) > 7 for lbl, _ in pairs)
@@ -116,7 +129,7 @@ def barplot_svg(
     label_all = len(pairs) <= 20 and bar_w >= 24
     top5 = {lbl for lbl, _ in sorted(pairs, key=lambda p: (-p[1], p[0]))[:5]}
 
-    e = html.escape
+    e = _esc
     out = [
         f"<svg xmlns='http://www.w3.org/2000/svg' width='{width}' "
         f"height='{height}' viewBox='0 0 {width} {height}' role='img' "
@@ -184,10 +197,13 @@ def barplot_svg(
 
 def _field_frequencies(
     df: DataFrame, field_name: str, max_bars: int
-) -> tuple[list[tuple[str, float]], float]:
+) -> tuple[list[tuple[str, float]], float, int]:
     """Distributed group-by frequency for one field, NA dropped
     (CreatePlots.R na.omit), top ``max_bars`` by (freq desc, label asc)
-    collected; returns (kept pairs, grand total incl. dropped tail)."""
+    collected; returns (kept pairs, grand row total incl. dropped tail,
+    true category count). Totals come from ONE pass over the grouped
+    frame (count + countDistinct of O(categories) rows), so the corpus
+    is scanned once."""
     freqs = (
         df.filter(F.col(field_name).isNotNull())
         .groupBy(F.col(field_name).cast("string").alias("label"))
@@ -195,8 +211,14 @@ def _field_frequencies(
     )
     # Sorted limit → TakeOrderedAndProject: no global sort at scale.
     kept = freqs.orderBy(F.desc("freq"), F.asc("label")).limit(max_bars).collect()
-    total_row = df.filter(F.col(field_name).isNotNull()).count()
-    return [(r["label"], float(r["freq"])) for r in kept], float(total_row)
+    totals = freqs.agg(
+        F.sum("freq").alias("rows"), F.count(F.lit(1)).alias("cats")
+    ).collect()[0]
+    return (
+        [(r["label"], float(r["freq"])) for r in kept],
+        float(totals["rows"] or 0),
+        int(totals["cats"]),
+    )
 
 
 def describe_nominal_field(
@@ -214,7 +236,7 @@ def describe_nominal_field(
     X order is lexicographic on the kept labels (R ``as.factor`` level
     order); categories beyond ``max_bars`` fold into "(other)".
     """
-    pairs, total = _field_frequencies(df, field_name, max_bars)
+    pairs, total, n_cats = _field_frequencies(df, field_name, max_bars)
     if not pairs:
         return None
     shown = sum(f for _, f in pairs)
@@ -222,7 +244,7 @@ def describe_nominal_field(
     if total > shown:
         pairs.append(("(other)", total - shown))
     xlab = field_name if total <= shown else (
-        f"{field_name} (top {max_bars} of categories)"
+        f"{field_name} (top {max_bars} of {n_cats} categories)"
     )
     svg = barplot_svg(
         pairs,
@@ -248,7 +270,7 @@ def describe_ordinal_field(
     """CreatePlots.R:197-247 analog: barplot in label order plus the
     reference's "most frequent values" message (top-5 by freq desc,
     ``<label> |count= <freq>`` rows, CreatePlots.R:236-243)."""
-    pairs, total = _field_frequencies(df, field_name, max_bars)
+    pairs, total, n_cats = _field_frequencies(df, field_name, max_bars)
     if not pairs:
         return None, ""
     by_freq = sorted(pairs, key=lambda p: (-p[1], p[0]))
@@ -269,7 +291,9 @@ def describe_ordinal_field(
     svg = barplot_svg(
         pairs,
         title=f"{field_name}: Distribution",
-        xlab=f"{field_name} (Total: {len(pairs)})",
+        # CreatePlots.R:241 total_locations = the TRUE category count,
+        # even when the chart itself is capped
+        xlab=f"{field_name} (Total: {n_cats})",
         ylab=f"{table_name} Count",
     )
     os.makedirs(directory, exist_ok=True)

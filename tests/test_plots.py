@@ -136,3 +136,38 @@ def test_write_report_bundle(spark, tmp_path):
     assert "![content](../images/RPlot_corpus_content.svg)" in md
     assert written["plot:lang"].endswith("images/RPlot_corpus_lang.svg")
     assert os.path.exists(written["plot:lang"])
+
+
+def test_barplot_svg_property_valid_geometry():
+    """Property: ANY (label, freq) input — unicode/markup labels, zero
+    and huge frequencies, 1..60 bars — yields well-formed XML with every
+    bar and text anchor inside the viewport."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pair = st.tuples(
+        st.text(min_size=0, max_size=20),
+        st.one_of(
+            st.just(0.0),
+            st.floats(min_value=0.0, max_value=1e12, allow_nan=False),
+        ),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(pair, min_size=1, max_size=60))
+    def check(pairs):
+        svg = barplot_svg(pairs, title="t: Distribution", xlab="x",
+                          ylab="corpus Count")
+        root = ET.fromstring(svg)  # well-formed XML
+        assert root.tag.endswith("svg")
+        for m in re.finditer(r"<path d='M([\d.]+),([\d.]+)", svg):
+            x, y = float(m.group(1)), float(m.group(2))
+            assert 0 <= x <= 640 and 0 <= y <= 400
+        for m in re.finditer(r"<text x='([-\d.]+)' y='([-\d.]+)'", svg):
+            x, y = float(m.group(1)), float(m.group(2))
+            assert -1 <= x <= 640 and -1 <= y <= 400
+
+    check()
