@@ -115,9 +115,11 @@ def main(argv: list[str] | None = None) -> int:
     from data_quality_analysis_spark.sources import read_corpus
 
     args = build_parser().parse_args(argv)
-    if args.next_version and not args.report_dir:
-        print("--next-version requires --report-dir", file=sys.stderr)
-        return 2
+    for flag, val in (("--next-version", args.next_version),
+                      ("--prev-issues", args.prev_issues)):
+        if val and not args.report_dir:
+            print(f"{flag} requires --report-dir", file=sys.stderr)
+            return 2
     spark = SparkSession.builder.appName("dqa-quality-filter").getOrCreate()
     corpus = read_corpus(spark, args.input)
     missing = [c for c in REQUIRED_COLS if c not in corpus.columns]

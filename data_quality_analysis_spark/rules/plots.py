@@ -81,17 +81,22 @@ def _bar_path(x: float, y: float, w: float, h: float, r: float = 4.0) -> str:
 
 
 def _y_ticks(max_v: float, n: int = 4) -> list[float]:
-    """n recessive gridline values at round steps covering max_v."""
+    """≤ n recessive gridline values at round steps; the last tick is
+    always ≥ max_v (ceil step, so n steps cover the range — a truncated
+    top tick would push the tallest bar above the plot area)."""
+    import math
+
     if max_v <= 0:
         return [0.0]
     raw = max_v / n
     mag = 10 ** max(0, len(str(int(raw))) - 1)
-    step = max(1.0, round(raw / mag) * mag or mag)
+    step = max(1.0, math.ceil(raw / mag) * mag)
     ticks, v = [], step
-    while v < max_v + step:
+    while v < max_v:
         ticks.append(float(v))
         v += step
-    return ticks[:n + 1]
+    ticks.append(float(v))
+    return ticks
 
 
 def barplot_svg(
@@ -201,19 +206,25 @@ def _field_frequencies(
     """Distributed group-by frequency for one field, NA dropped
     (CreatePlots.R na.omit), top ``max_bars`` by (freq desc, label asc)
     collected; returns (kept pairs, grand row total incl. dropped tail,
-    true category count). Totals come from ONE pass over the grouped
-    frame (count + countDistinct of O(categories) rows), so the corpus
-    is scanned once."""
+    true category count). The grouped frame is persisted across the two
+    actions, so the corpus itself is scanned once."""
     freqs = (
         df.filter(F.col(field_name).isNotNull())
         .groupBy(F.col(field_name).cast("string").alias("label"))
         .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    # Sorted limit → TakeOrderedAndProject: no global sort at scale.
-    kept = freqs.orderBy(F.desc("freq"), F.asc("label")).limit(max_bars).collect()
-    totals = freqs.agg(
-        F.sum("freq").alias("rows"), F.count(F.lit(1)).alias("cats")
-    ).collect()[0]
+    ).persist()  # O(categories) rows; both actions below reuse one scan
+    try:
+        # Sorted limit → TakeOrderedAndProject: no global sort at scale.
+        kept = (
+            freqs.orderBy(F.desc("freq"), F.asc("label"))
+            .limit(max_bars)
+            .collect()
+        )
+        totals = freqs.agg(
+            F.sum("freq").alias("rows"), F.count(F.lit(1)).alias("cats")
+        ).collect()[0]
+    finally:
+        freqs.unpersist()
     return (
         [(r["label"], float(r["freq"])) for r in kept],
         float(totals["rows"] or 0),
@@ -279,8 +290,14 @@ def describe_ordinal_field(
     msg += " ,\n ".join(f"{lbl} |count= {freq:g}" for lbl, freq in top)
 
     def _order_key(p: tuple[str, float]):
+        import math
+
         try:
-            return (0, float(p[0]), p[0])
+            v = float(p[0])
+            # NaN breaks strict weak ordering; inf labels aren't ordinal
+            if not math.isfinite(v):
+                raise ValueError
+            return (0, v, p[0])
         except ValueError:
             return (1, 0.0, p[0])
 

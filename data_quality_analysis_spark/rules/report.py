@@ -258,11 +258,21 @@ def _image_ref(table_name: str, field: str, ext: str = "png") -> str:
 
 
 def render_markdown_report(
-    report: DataFrame, table_name: str, image_ext: str = "png"
+    report: DataFrame,
+    table_name: str,
+    image_ext: str = "png",
+    charted: list[str] | None = None,
 ) -> str:
     """Render one table's composed 16-column report as the reference's
     per-table markdown document (sections per field, finding lines,
-    image references)."""
+    image references).
+
+    ``charted=None`` is reference-parity mode: every field section gets
+    an image reference (the reference assumes a separate plotting pass
+    produced them all). When ``charted`` lists the chart files that were
+    ACTUALLY written (the bundle path), a field section embeds its image
+    only if present — no dangling references — and charted names that
+    are not report fields get their own trailing section."""
     rows = (
         report.filter(F.col("table_name") == table_name)
         .orderBy("field", "check_code", "check_alias")
@@ -270,23 +280,37 @@ def render_markdown_report(
     )
     lines = [f"# Data quality report for {table_name}", ""]
     current_field = None
+    seen_fields = set()
     for r in rows:
         if r["field"] != current_field:
             current_field = r["field"]
-            lines += [f"## Barplot for {current_field}", "",
-                      _image_ref(table_name, current_field, image_ext), ""]
+            seen_fields.add(current_field)
+            lines += [f"## Barplot for {current_field}", ""]
+            if charted is None or current_field in charted:
+                lines += [
+                    _image_ref(table_name, current_field, image_ext), ""
+                ]
         finding = r["finding"] if r["finding"] is not None else "(resolved)"
         lines.append(
             f"- `{r['check_code']}` {r['check_alias']}: {finding}"
             f" — prevalence {r['prevalence']}, rank {r['rank']},"
             f" status {r['status']}"
         )
+    extra = [c for c in (charted or []) if c not in seen_fields]
+    if extra:
+        lines += ["", "## Corpus distributions", ""]
+        for c in extra:
+            lines += [_image_ref(table_name, c, image_ext), ""]
     lines.append("")
     return "\n".join(lines)
 
 
 def write_markdown_report(
-    report: DataFrame, directory: str, table_name: str
+    report: DataFrame,
+    directory: str,
+    table_name: str,
+    image_ext: str = "png",
+    charted: list[str] | None = None,
 ) -> str:
     """Write ``<table>_Report_Automatic.md`` (the reference's file name,
     GeneratePersonReport_QueryWise.R:13) under ``directory``; returns the
@@ -296,7 +320,9 @@ def write_markdown_report(
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"{table_name}_Report_Automatic.md")
     with open(path, "w") as fh:
-        fh.write(render_markdown_report(report, table_name))
+        fh.write(
+            render_markdown_report(report, table_name, image_ext, charted)
+        )
     return path
 
 
@@ -322,16 +348,16 @@ def write_report_bundle(
     from data_quality_analysis_spark.rules.plots import describe_nominal_field
 
     written: dict[str, str] = {}
+    charted: list[str] = []
     images_dir = os.path.join(directory, "images")
     for field in nominal_fields:
         path = describe_nominal_field(corpus, table_name, field, images_dir)
         if path is not None:
             written[f"plot:{field}"] = path
+            charted.append(field)
 
-    reports_dir = os.path.join(directory, "reports")
-    os.makedirs(reports_dir, exist_ok=True)
-    md_path = os.path.join(reports_dir, f"{table_name}_Report_Automatic.md")
-    with open(md_path, "w") as fh:
-        fh.write(render_markdown_report(report, table_name, image_ext="svg"))
-    written["report"] = md_path
+    written["report"] = write_markdown_report(
+        report, os.path.join(directory, "reports"), table_name,
+        image_ext="svg", charted=charted,
+    )
     return written

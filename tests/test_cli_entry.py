@@ -91,7 +91,10 @@ def test_cli_report_artifacts(spark, tmp_path):
         assert os.path.exists(
             os.path.join(rep_dir, "images", f"RPlot_corpus_{f}.svg")
         )
-    assert "../images/RPlot_corpus_content.svg" in md
+    # every referenced image exists; un-charted fields get no reference
+    assert "RPlot_corpus_content" not in md
+    assert "../images/RPlot_corpus_detected_lang.svg" in md
+    assert "../images/RPlot_corpus_keep.svg" in md
 
     from data_quality_analysis_spark.rules.report import read_secondary_report
 

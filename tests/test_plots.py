@@ -111,9 +111,10 @@ def test_describe_ordinal_field_message(spark, tmp_path):
         msg.index("1 |count= 2")
     with open(path) as fh:
         svg = fh.read()
-    # numeric-aware axis order: 1, 2, 10 (not lexicographic "1","10","2")
-    assert svg.index(">1</text>") < svg.index(">2</text>") < \
-        svg.index(">10</text>")
+    # numeric-aware axis order: 1, 2, 10 (not lexicographic "1","10","2");
+    # match category labels (anchor 'middle'), not y-tick labels ('end')
+    assert svg.index("'middle'>1</text>") < svg.index("'middle'>2</text>") \
+        < svg.index("'middle'>10</text>")
 
 
 def test_write_report_bundle(spark, tmp_path):
@@ -132,8 +133,12 @@ def test_write_report_bundle(spark, tmp_path):
     assert set(written) == {"plot:lang", "report"}
     with open(written["report"]) as fh:
         md = fh.read()
-    # markdown references the svg artifacts the bundle actually wrote
-    assert "![content](../images/RPlot_corpus_content.svg)" in md
+    # markdown references ONLY the svg artifacts the bundle actually
+    # wrote — no dangling image links for un-charted report fields
+    assert "RPlot_corpus_content" not in md
+    assert "## Barplot for content" in md
+    assert "## Corpus distributions" in md
+    assert "![lang](../images/RPlot_corpus_lang.svg)" in md
     assert written["plot:lang"].endswith("images/RPlot_corpus_lang.svg")
     assert os.path.exists(written["plot:lang"])
 
