@@ -182,6 +182,21 @@ def _qf_issue_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return secondary_report(cur, prev)
 
 
+def _qf_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-tuning sensitivity curve: violation rate of the
+    max_line_len rule at four candidate upper bounds, in one
+    conditional-sum aggregation pass (heuristics.threshold_sensitivity).
+    Full oracle: DuckDB re-derives the curve with an independent plan
+    (stats × unnest(grid) cross join + GROUP BY)."""
+    from data_quality_analysis_spark.rules.heuristics import (
+        threshold_sensitivity,
+        with_content_stats,
+    )
+
+    c = with_content_stats(corpus_view(spark, sf_dir))
+    return threshold_sensitivity(c, "max_line_len", [600, 1200, 2400, 4800])
+
+
 # ------------------------------------------------------- text / dedup ---
 def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(spark, sf_dir).select("doc_id", "fingerprint_md5")
@@ -455,6 +470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_format_check": relational.format_check,
     "op_pct_of_total": relational.pct_of_total,
     "sim_embedding_clusters": similarity.embedding_clusters,
+    "qf_threshold_sweep": _qf_threshold_sweep,
 }
 
 
@@ -787,6 +803,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT s AS vec_id, least(s, min(d)) AS cluster_id
             FROM reach GROUP BY s"""
         ),
+        "qf_threshold_sweep": oracles.threshold_sweep_oracle(),
         "text_langid": oracles.langid_documents_oracle(),
         "text_ngram_perplexity": oracles.ngram_perplexity_oracle(),
         "dedup_ngram_jaccard": _JACCARD_SQL,

@@ -82,6 +82,25 @@ def stage_a_oracle() -> str:
     return _corpus_cte() + STAGE_A_SQL
 
 
+def threshold_sweep_oracle(grid: tuple[int, ...] = (600, 1200, 2400, 4800)) -> str:
+    """Independent re-derivation of heuristics.threshold_sensitivity on
+    max_line_len: stats × unnest(grid) cross join + GROUP BY (a
+    different plan shape than Spark's single-row conditional-sum agg,
+    same curve)."""
+    lst = ", ".join(str(int(t)) for t in grid)
+    nb = "CASE WHEN NOT is_blank THEN 1 ELSE 0 END"
+    hit = "CASE WHEN NOT is_blank AND max_line_len > t.threshold THEN 1 ELSE 0 END"
+    return _corpus_cte() + f"""
+SELECT CAST(t.threshold AS BIGINT) AS threshold,
+  CAST(sum({hit}) AS BIGINT) AS violations,
+  CAST(sum({nb}) AS BIGINT) AS total,
+  CASE WHEN sum({nb}) > 0
+       THEN round(sum({hit}) * 100.0 / sum({nb}), 2) END AS pct
+FROM stats CROSS JOIN (SELECT unnest([{lst}]) AS threshold) t
+GROUP BY t.threshold
+"""
+
+
 def corpus_oracle() -> str:
     return f"WITH corpus AS ({CORPUS_SELECT}) SELECT * FROM corpus"
 

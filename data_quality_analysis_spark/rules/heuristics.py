@@ -123,6 +123,53 @@ def with_duplicate_flag(df: DataFrame) -> DataFrame:
     )
 
 
+def threshold_sensitivity(
+    df: DataFrame,
+    metric_col: str,
+    grid: list[int],
+    direction: str = "gt",
+) -> DataFrame:
+    """Catalog tuning: violation count + rate at EVERY candidate
+    threshold in one pass — the sensitivity curve an operator reads
+    before moving a keep/drop bound (the reference tunes its per-check
+    thresholds by editing CSVs between cycles,
+    /root/reference/Library/CheckFunctions.R:29-90; this is the query
+    that tells you what each edit would have done).
+
+    One conditional sum per grid point over the fused stats frame:
+    a single aggregation, map-side combinable, no row shuffle — the
+    exchange carries one partial row per task regardless of corpus
+    size or grid length. Blank rows are exempt, matching the ``viol_*``
+    convention. ``direction`` 'gt' sweeps an upper bound
+    (violation = metric > t), 'lt' a lower bound."""
+    if direction not in ("gt", "lt"):
+        raise ValueError(f"direction must be 'gt' or 'lt', got {direction!r}")
+    m, nb = F.col(metric_col), ~F.col("is_blank")
+    cond = (lambda t: m > t) if direction == "gt" else (lambda t: m < t)
+    aggs = [F.sum(nb.cast("long")).alias("_total")] + [
+        F.sum((nb & cond(F.lit(t))).cast("long")).alias(f"_t{i}")
+        for i, t in enumerate(grid)
+    ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"CAST({int(t)} AS BIGINT), _t{i}" for i, t in enumerate(grid)
+    )
+    return wide.select(
+        F.col("_total").alias("total"),
+        F.expr(
+            f"stack({len(grid)}, {stack_expr}) as (threshold, violations)"
+        ),
+    ).select(
+        "threshold",
+        "violations",
+        "total",
+        F.when(
+            F.col("total") > 0,
+            F.round(F.col("violations") * 100.0 / F.col("total"), 2),
+        ).alias("pct"),
+    )
+
+
 def duplicated_shas(corpus: DataFrame, content: str = "content") -> DataFrame:
     """Corpus-global duplicated-hash set: one groupBy over sha256 —
     map-side partial aggregation means the shuffle carries (32-byte sha,

@@ -411,3 +411,30 @@ def test_rule_rates_from_verdicts_matches_staged_rates(spark):
     written_shape = staged.select("repo", "path", "rules_violated")
     b = {tuple(r) for r in rule_rates_from_verdicts(written_shape, cat).collect()}
     assert a == b
+
+
+def test_threshold_sensitivity_directions(spark):
+    """'gt' sweeps an upper bound (monotonically fewer violations as the
+    threshold rises), 'lt' a lower bound; blanks are exempt; bad
+    direction rejected."""
+    import pytest as _pytest
+
+    from data_quality_analysis_spark.rules.heuristics import (
+        threshold_sensitivity,
+        with_content_stats,
+    )
+
+    stats = with_content_stats(corpus_view(spark, SF_SMOKE))
+    up = {r["threshold"]: r["violations"]
+          for r in threshold_sensitivity(
+              stats, "max_line_len", [600, 1200, 2400, 4800]).collect()}
+    assert list(up) == [600, 1200, 2400, 4800]
+    assert up[600] >= up[1200] >= up[2400] >= up[4800]
+
+    lo = {r["threshold"]: r["violations"]
+          for r in threshold_sensitivity(
+              stats, "n_chars", [10, 100], direction="lt").collect()}
+    assert lo[10] <= lo[100]
+
+    with _pytest.raises(ValueError, match="direction"):
+        threshold_sensitivity(stats, "n_chars", [1], direction="between")

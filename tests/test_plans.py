@@ -176,3 +176,25 @@ def test_near_dup_aggregation_buffer_is_id_only(spark):
             f"aggregation buffer must not carry embeddings: {line}"
         )
     assert "struct(vec_id" not in plan
+
+
+def test_threshold_sweep_single_pass(spark):
+    """threshold_sensitivity must stay ONE aggregation over ONE scan —
+    a per-threshold re-scan (or a grid explode) would multiply the
+    corpus read by the grid length at 100 TB."""
+    from data_quality_analysis_spark.rules.heuristics import (
+        threshold_sensitivity,
+        with_content_stats,
+    )
+
+    df = threshold_sensitivity(
+        with_content_stats(corpus_view(spark, SF_SMOKE)),
+        "max_line_len", [600, 1200, 2400, 4800],
+    )
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, "grid must not re-scan"
+    # the stack() unpivot (a Generate of the ONE aggregated row) sits
+    # ABOVE the aggregate; a Generate below it would be a corpus explode
+    assert plan.index("Generate") < plan.index("HashAggregate")
+    assert plan.count("Generate stack") == 1
+    assert plan.count("Exchange") <= 1, "one partial→final exchange only"
