@@ -178,10 +178,14 @@ def run_with_lineage(
             verdict_path
         )
         # 2) ... metrics computed from the just-written output (reading
-        # back what was committed, not what we intended to write) ...
-        written = spark.read.parquet(verdict_path).filter(
-            F.col(BUCKET_COL).isin(batch)
-        )
+        # back what was committed, not what we intended to write). The
+        # read uses the writer's schema explicitly: a zero-row corpus
+        # (cold start / fully filtered input) writes only _SUCCESS under
+        # partitionBy, and schema INFERENCE on that directory throws
+        # UNABLE_TO_INFER_SCHEMA ...
+        written = spark.read.schema(result.schema).parquet(
+            verdict_path
+        ).filter(F.col(BUCKET_COL).isin(batch))
         metrics_rows = (
             written.groupBy(BUCKET_COL)
             .agg(
@@ -220,8 +224,29 @@ def run_with_lineage(
     )
 
 
+# The exact shape run_with_lineage writes (pinned against a real run in
+# tests/test_lineage.py) — read_verdicts falls back to it when the
+# verdicts directory holds zero rows (no part files to infer from).
+VERDICT_SCHEMA = (
+    f"{BUCKET_COL} int, repo string, path string, commit string, "
+    "lang string, detected_lang string, keep boolean, "
+    "rules_violated array<string>, content_sha string, "
+    "scrubbed_sha string, scrubbed_content string, "
+    "n_pii_spans long, perplexity double"
+)
+
+
 def read_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "verdicts"))
+    from pyspark.errors import AnalysisException
+
+    path = os.path.join(out_dir, "verdicts")
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        # empty run: directory exists but has no data files
+        return spark.read.schema(VERDICT_SCHEMA).parquet(path)
 
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:

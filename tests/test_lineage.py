@@ -37,6 +37,37 @@ def test_full_run_commits_all_buckets(spark, tmp_path):
         v.groupBy("repo").agg(F.countDistinct("bucket").alias("nb"))
         .filter(F.col("nb") > 1).count() == 0
     )
+    # the declared empty-run fallback schema matches what a REAL run
+    # writes (read_verdicts' zero-row path must not drift)
+    from pyspark.sql.types import StructType
+
+    declared = StructType.fromDDL(lineage.VERDICT_SCHEMA)
+    assert {f.name: f.dataType for f in v.schema.fields} == \
+        {f.name: f.dataType for f in declared.fields}
+
+
+def test_empty_corpus_run_and_report_artifacts(spark, tmp_path):
+    """Cold start: a zero-row corpus must commit all buckets (the write
+    produces only _SUCCESS under partitionBy — schema inference on that
+    directory throws, so the read-back and read_verdicts carry explicit
+    schemas), and the CLI's report composition must emit the header-only
+    artifact set rather than crash."""
+    from data_quality_analysis_spark.__main__ import emit_report_artifacts
+
+    out = str(tmp_path / "out")
+    empty = corpus_view(spark, SF).limit(0)
+    report = lineage.run_with_lineage(
+        spark, empty, out, n_buckets=4, batch_size=4
+    )
+    assert sorted(report.ran) == [0, 1, 2, 3]
+    assert lineage.read_verdicts(spark, out).count() == 0
+
+    arts = emit_report_artifacts(
+        spark, out, str(tmp_path / "rep"), "r1", None, "r2"
+    )
+    assert {"issues_csv", "report", "template_csv"} <= set(arts)
+    with open(arts["report"]) as fh:
+        assert fh.read().startswith("# Data quality report for corpus")
 
 
 def test_crash_resume_equals_full_run(spark, tmp_path):
