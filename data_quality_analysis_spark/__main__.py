@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="previous cycle's issue rows (parquet, 8-column "
                         "issue shape) for lifecycle reconcile; omitted → "
                         "every issue is 'new'")
+    p.add_argument("--prev-report", default=None,
+                   help="previous cycle's secondary-report CSV (any file "
+                        "version — the issues artifact a previous "
+                        "--report-dir run wrote) for lifecycle reconcile; "
+                        "mutually exclusive with --prev-issues")
     p.add_argument("--next-version", default=None,
                    help="also emit the next cycle's blank report template "
                         "stamped with this data version (the "
@@ -60,6 +65,7 @@ def emit_report_artifacts(
     data_version: str,
     prev_issues_path: str | None,
     next_version: str | None,
+    prev_report_path: str | None = None,
 ) -> dict[str, str]:
     """Post-run report composition (the Go CLI's generate/query side of
     the house): written verdicts → rates → issues → reconcile vs the
@@ -73,6 +79,8 @@ def emit_report_artifacts(
     from data_quality_analysis_spark.rules.catalog import default_catalog
     from data_quality_analysis_spark.rules.report import (
         generate_template,
+        read_secondary_report,
+        report_issues,
         secondary_report,
         write_report_bundle,
         write_secondary_report,
@@ -86,11 +94,13 @@ def emit_report_artifacts(
     verdicts = read_verdicts(spark, output_dir)
     rates = rule_rates_from_verdicts(verdicts, cat)
     cur = issues_from_rates(spark, rates, cat, data_version=data_version)
-    prev = (
-        spark.read.parquet(prev_issues_path)
-        if prev_issues_path
-        else cur.limit(0)
-    )
+    if prev_issues_path:
+        prev = spark.read.parquet(prev_issues_path)
+    elif prev_report_path:
+        # the issues CSV a previous --report-dir cycle wrote
+        prev = report_issues(read_secondary_report(spark, prev_report_path))
+    else:
+        prev = cur.limit(0)
     rep = secondary_report(cur, prev, data_version=data_version)
 
     written = write_report_bundle(
@@ -116,10 +126,15 @@ def main(argv: list[str] | None = None) -> int:
 
     args = build_parser().parse_args(argv)
     for flag, val in (("--next-version", args.next_version),
-                      ("--prev-issues", args.prev_issues)):
+                      ("--prev-issues", args.prev_issues),
+                      ("--prev-report", args.prev_report)):
         if val and not args.report_dir:
             print(f"{flag} requires --report-dir", file=sys.stderr)
             return 2
+    if args.prev_issues and args.prev_report:
+        print("--prev-issues and --prev-report are mutually exclusive",
+              file=sys.stderr)
+        return 2
     spark = SparkSession.builder.appName("dqa-quality-filter").getOrCreate()
     corpus = read_corpus(spark, args.input)
     missing = [c for c in REQUIRED_COLS if c not in corpus.columns]
@@ -143,7 +158,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.report_dir:
         out["report_artifacts"] = emit_report_artifacts(
             spark, args.output, args.report_dir, args.data_version,
-            args.prev_issues, args.next_version,
+            args.prev_issues, args.next_version, args.prev_report,
         )
     print(json.dumps(out))
     return 0

@@ -305,6 +305,23 @@ def render_markdown_report(
     return "\n".join(lines)
 
 
+def report_issues(report: DataFrame) -> DataFrame:
+    """Previous-cycle secondary report (16-column shape, any file
+    version via read_secondary_report) → the issue frame ``reconcile``
+    consumes as its ``previous`` side. Resolved rows (NULL finding) are
+    dropped — they are not open issues to carry into the next cycle's
+    lifecycle. This is what lets one CLI cycle feed the next using only
+    the CSV artifact the previous run wrote."""
+    return report.filter(F.col("finding").isNotNull()).select(
+        F.col("table_name").alias("table"),
+        "field",
+        F.col("check_code").alias("issue_code"),
+        F.col("check_alias").alias("alias"),
+        "data_version",
+        "finding",
+    )
+
+
 def write_markdown_report(
     report: DataFrame,
     directory: str,

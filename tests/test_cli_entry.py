@@ -114,3 +114,13 @@ def test_cli_next_version_requires_report_dir(spark, tmp_path):
               "--next-version", "r2"])
     assert r.returncode == 2
     assert "--next-version requires --report-dir" in r.stderr
+
+
+def test_cli_prev_flags_validation(spark, tmp_path):
+    r = _run(["--input", str(tmp_path / "x"), "--output", str(tmp_path / "o"),
+              "--prev-report", "p"])
+    assert r.returncode == 2 and "--prev-report requires --report-dir" in r.stderr
+    r = _run(["--input", str(tmp_path / "x"), "--output", str(tmp_path / "o"),
+              "--report-dir", str(tmp_path / "r"),
+              "--prev-issues", "a", "--prev-report", "b"])
+    assert r.returncode == 2 and "mutually exclusive" in r.stderr

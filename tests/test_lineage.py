@@ -176,3 +176,30 @@ def test_metrics_and_drift(spark, tmp_path):
     )
     flagged = lineage.metrics_drift(m, prev).collect()
     assert [r["bucket"] for r in flagged] == [0]
+
+
+def test_two_cycle_report_round_trip(spark, tmp_path):
+    """The CLI's cycle-over-cycle contract: cycle 2 reconciles against
+    the issues CSV cycle 1 WROTE (--prev-report) — same corpus, so every
+    cycle-1 issue must come back 'persistent', and the carried previous
+    finding must equal cycle 1's finding."""
+    from data_quality_analysis_spark.__main__ import emit_report_artifacts
+    from data_quality_analysis_spark.rules.report import read_secondary_report
+
+    out = str(tmp_path / "out")
+    corpus = corpus_view(spark, SF)
+    lineage.run_with_lineage(spark, corpus, out, n_buckets=4, batch_size=4)
+
+    arts1 = emit_report_artifacts(
+        spark, out, str(tmp_path / "rep1"), "r1", None, None
+    )
+    n1 = read_secondary_report(spark, arts1["issues_csv"]).count()
+    assert n1 > 0
+
+    arts2 = emit_report_artifacts(
+        spark, out, str(tmp_path / "rep2"), "r2", None, None,
+        prev_report_path=arts1["issues_csv"],
+    )
+    rep2 = read_secondary_report(spark, arts2["issues_csv"])
+    assert rep2.count() == n1
+    assert rep2.filter(rep2.status == "persistent").count() == n1
