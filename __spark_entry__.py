@@ -182,6 +182,22 @@ def _qf_issue_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return secondary_report(cur, prev)
 
 
+def _qf_suggested_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven catalog-bound suggestions: exact corpus quantiles of
+    four stats metrics (heuristics.suggest_bounds) — one aggregation.
+    Full oracle: DuckDB quantile_cont, same interpolation."""
+    from data_quality_analysis_spark.rules.heuristics import (
+        suggest_bounds,
+        with_content_stats,
+    )
+
+    c = with_content_stats(corpus_view(spark, sf_dir))
+    return suggest_bounds(c, [
+        ("max_line_len", 0.99), ("mean_line_len", 0.99),
+        ("n_chars", 0.01), ("alnum_ratio", 0.05),
+    ])
+
+
 def _qf_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog-tuning sensitivity curve: violation rate of the
     max_line_len rule at four candidate upper bounds, in one
@@ -471,6 +487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_pct_of_total": relational.pct_of_total,
     "sim_embedding_clusters": similarity.embedding_clusters,
     "qf_threshold_sweep": _qf_threshold_sweep,
+    "qf_suggested_bounds": _qf_suggested_bounds,
 }
 
 
@@ -804,6 +821,7 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY s"""
         ),
         "qf_threshold_sweep": oracles.threshold_sweep_oracle(),
+        "qf_suggested_bounds": oracles.suggested_bounds_oracle(),
         "text_langid": oracles.langid_documents_oracle(),
         "text_ngram_perplexity": oracles.ngram_perplexity_oracle(),
         "dedup_ngram_jaccard": _JACCARD_SQL,

@@ -82,6 +82,26 @@ def stage_a_oracle() -> str:
     return _corpus_cte() + STAGE_A_SQL
 
 
+def suggested_bounds_oracle(
+    specs: tuple[tuple[str, float], ...] = (
+        ("max_line_len", 0.99),
+        ("mean_line_len", 0.99),
+        ("n_chars", 0.01),
+        ("alnum_ratio", 0.05),
+    ),
+) -> str:
+    """quantile_cont re-derivation of heuristics.suggest_bounds (both
+    engines use linear-interpolated exact quantiles over non-blank
+    rows; 4dp rounding absorbs float formatting)."""
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS metric, CAST({q} AS DOUBLE) AS quantile,\n"
+        f"  round(quantile_cont(CASE WHEN NOT is_blank THEN {m} END, {q}), 4)"
+        f" AS suggested FROM stats"
+        for m, q in specs
+    )
+    return _corpus_cte() + "\n" + arms
+
+
 def threshold_sweep_oracle(grid: tuple[int, ...] = (600, 1200, 2400, 4800)) -> str:
     """Independent re-derivation of heuristics.threshold_sensitivity on
     max_line_len: stats × unnest(grid) cross join + GROUP BY (a

@@ -170,6 +170,42 @@ def threshold_sensitivity(
     )
 
 
+def suggest_bounds(
+    df: DataFrame, specs: list[tuple[str, float]]
+) -> DataFrame:
+    """Data-driven starting points for catalog BOUNDS: the exact corpus
+    quantile of each stats metric over non-blank rows — e.g. p99 of
+    max_line_len as a candidate upper bound, p01 of n_chars as a lower
+    one. Pair with :func:`threshold_sensitivity` to see what adopting a
+    suggestion would do before editing the catalog (the reference's
+    threshold CSVs are hand-tuned between cycles; this derives the
+    first draft from the data).
+
+    One aggregation for the whole spec list (exact ``percentile`` —
+    interpolated, matching DuckDB's quantile_cont), unpivoted to
+    (metric, quantile, suggested). Exact percentiles hold the non-blank
+    column values for the aggregation — fine at the per-metric column
+    width; swap in percentile_approx for corpora where even one numeric
+    column per executor is too much."""
+    aggs = [
+        F.round(
+            F.expr(f"percentile(CASE WHEN NOT is_blank THEN {m} END, {q})"),
+            4,
+        ).alias(f"_s{i}")
+        for i, (m, q) in enumerate(specs)
+    ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{m}', CAST({q} AS DOUBLE), _s{i}" for i, (m, q) in enumerate(specs)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(specs)}, {stack_expr})"
+            " as (metric, quantile, suggested)"
+        )
+    )
+
+
 def duplicated_shas(corpus: DataFrame, content: str = "content") -> DataFrame:
     """Corpus-global duplicated-hash set: one groupBy over sha256 —
     map-side partial aggregation means the shuffle carries (32-byte sha,

@@ -438,3 +438,26 @@ def test_threshold_sensitivity_directions(spark):
 
     with _pytest.raises(ValueError, match="direction"):
         threshold_sensitivity(stats, "n_chars", [1], direction="between")
+
+
+def test_suggest_bounds_quantiles(spark):
+    """Suggestions are exact non-blank quantiles: monotone in q, blanks
+    excluded (a blank row's zero metric must not drag p01 to 0)."""
+    from data_quality_analysis_spark.rules.heuristics import (
+        suggest_bounds,
+        with_content_stats,
+    )
+
+    rows = [("r", f"p{i}", "c", "en", "x" * (i + 1) + "\n") for i in range(9)]
+    rows.append(("r", "blank", "c", "en", "   "))
+    df = with_content_stats(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string"))
+    got = {(r["metric"], r["quantile"]): r["suggested"]
+           for r in suggest_bounds(df, [("n_chars", 0.0), ("n_chars", 0.5),
+                                        ("n_chars", 1.0)]).collect()}
+    # non-blank n_chars = 2..10 ('x'*i + newline); blank row's 3 excluded
+    assert got[("n_chars", 0.0)] == 2.0
+    assert got[("n_chars", 1.0)] == 10.0
+    assert got[("n_chars", 0.0)] <= got[("n_chars", 0.5)] <= \
+        got[("n_chars", 1.0)]
