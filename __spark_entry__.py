@@ -491,6 +491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_union_distinct": relational.union_distinct_keys,
     "op_format_check": relational.format_check,
     "op_pct_of_total": relational.pct_of_total,
+    "text_chunks": text.chunk_documents_query,
 }
 
 
@@ -825,6 +826,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "qf_threshold_sweep": oracles.threshold_sweep_oracle(),
         "qf_suggested_bounds": oracles.suggested_bounds_oracle(),
+        # 64-token chunks, 8 overlap → stride 56; range() excludes its
+        # upper bound exactly as Spark's sequence(0, n-1, 56) caps at
+        # the last multiple ≤ n-1; list_slice bounds are inclusive
+        "text_chunks": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+              FROM documents),
+            st AS (
+              SELECT doc_id, t,
+                     unnest(range(0, greatest(len(t), 1), 56)) AS start
+              FROM toks)
+            SELECT doc_id,
+              CAST(start // 56 AS BIGINT) AS chunk_id,
+              array_to_string(list_slice(t, start + 1, start + 64), ' ')
+                AS chunk_text,
+              CAST(len(list_slice(t, start + 1, start + 64)) AS BIGINT)
+                AS n_tokens
+            FROM st
+        """,
         "text_langid": oracles.langid_documents_oracle(),
         "text_ngram_perplexity": oracles.ngram_perplexity_oracle(),
         "dedup_ngram_jaccard": _JACCARD_SQL,

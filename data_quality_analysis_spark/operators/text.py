@@ -271,3 +271,47 @@ def vocab_topk(
 def vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: top-50 tokens over documents (full oracle)."""
     return vocab_topk(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token training chunks with overlap —
+    the standard pre-tokenization window for LLM / embedding pipelines
+    (pack_bins groups whole documents to a budget; this splits the
+    over-budget ones). Pure JVM columns: whitespace tokenization,
+    ``sequence`` of window starts, ``posexplode`` + ``slice`` — no
+    Python, no shuffle (one narrow projection per input row; output
+    rows ≈ tokens/stride). chunk_id = start/stride, so ids are
+    deterministic and resume-stable regardless of partitioning."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}")
+    stride = max_tokens - overlap
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(id_col), toks.alias("_toks"),
+        F.explode(starts).alias("_start"),
+    )
+    chunk = F.expr(f"slice(_toks, _start + 1, {max_tokens})")
+    return exploded.select(
+        id_col,
+        (F.col("_start") / stride).cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: 64-token chunks with 8-token overlap over the
+    documents table. Full oracle: DuckDB regexp_split_to_array +
+    range() + list_slice re-derivation."""
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d).orderBy("doc_id", "chunk_id")

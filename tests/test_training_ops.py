@@ -242,3 +242,29 @@ def test_pack_bins_partition_invariant_and_budgeted(spark):
     assert a == expect
     # bins are contiguous 0..max
     assert set(a.values()) == set(range(max(a.values()) + 1))
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Chunks reconstruct the original token stream: chunk 0 plus each
+    later chunk minus its `overlap`-token prefix concatenates back to
+    the whitespace-tokenized document; every chunk except the last is
+    exactly max_tokens long; invalid overlap rejected."""
+    import pytest as _pytest
+
+    from data_quality_analysis_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(137))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, max_tokens=32, overlap=4).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+    assert all(r["n_tokens"] == 32 for r in rows[:-1])
+    rebuilt = rows[0]["chunk_text"].split(" ")
+    for r in rows[1:]:
+        rebuilt += r["chunk_text"].split(" ")[4:]
+    assert rebuilt == text.split(" ")
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=8, overlap=8)
