@@ -198,3 +198,15 @@ def test_threshold_sweep_single_pass(spark):
     assert plan.index("Generate") < plan.index("HashAggregate")
     assert plan.count("Generate stack") == 1
     assert plan.count("Exchange") <= 1, "one partial→final exchange only"
+
+
+def test_chunking_no_shuffle_no_python(spark):
+    """chunk_documents is a narrow per-row projection: any Exchange or
+    Python stage here would turn a 100 TB chunking pass into a shuffle
+    of the full corpus text."""
+    from data_quality_analysis_spark.operators.text import chunk_documents
+    from data_quality_analysis_spark.session import load_table
+
+    plan = _plan(chunk_documents(load_table(spark, SF_SMOKE, "documents")))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
