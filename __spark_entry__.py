@@ -462,16 +462,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_hierarchy_rollup": relational.hierarchy_rollup,
     "op_hierarchy_expansion": relational.hierarchy_expansion,
     "op_date_align": relational.date_align,
-    "op_json_extract": relational.json_extract_stats,
-    "op_month_lag_delta": relational.month_lag_delta,
-    # round-4 additions take the last 3 checked slots (never driver-
-    # checked before); op_datetime_consistency / op_future_dates rotate
-    # to the tail with green rows on record from rounds 1-3
+    # round-4 additions take the remaining checked slots (never driver-
+    # checked before); op_json_extract / op_month_lag_delta /
+    # op_datetime_consistency / op_future_dates rotate to the tail with
+    # green rows on record from rounds 1-3
+    "text_chunks": text.chunk_documents_query,
+    "op_sessionize": relational.sessionize,
     "sim_embedding_clusters": similarity.embedding_clusters,
     "qf_threshold_sweep": _qf_threshold_sweep,
     "qf_suggested_bounds": _qf_suggested_bounds,
     # ---- tail: positions 51+ (driver-unchecked this round; all green in
     # rounds 1-3 and pytest-oracle-guarded locally) ----
+    "op_json_extract": relational.json_extract_stats,
+    "op_month_lag_delta": relational.month_lag_delta,
     "op_datetime_consistency": relational.datetime_consistency,
     "op_future_dates": lambda spark, sf_dir: relational.future_dates(
         spark, sf_dir, clock="2024-01-20"
@@ -491,7 +494,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_union_distinct": relational.union_distinct_keys,
     "op_format_check": relational.format_check,
     "op_pct_of_total": relational.pct_of_total,
-    "text_chunks": text.chunk_documents_query,
 }
 
 
@@ -844,6 +846,29 @@ def oracle_sql() -> dict[str, str]:
               CAST(len(list_slice(t, start + 1, start + 64)) AS BIGINT)
                 AS n_tokens
             FROM st
+        """,
+        # gap-based sessionization: same lag → flag → running-sum →
+        # aggregate derivation; INTERVAL comparison is timezone-free on
+        # the table's naive timestamps in both engines
+        "op_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts, value,
+                sum(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              min(ts) AS session_start, max(ts) AS session_end,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS total_value
+            FROM s GROUP BY user_id, session_id
         """,
         "text_langid": oracles.langid_documents_oracle(),
         "text_ngram_perplexity": oracles.ngram_perplexity_oracle(),

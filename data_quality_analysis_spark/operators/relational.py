@@ -498,3 +498,46 @@ def date_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("misaligned"),
         )
     )
+
+
+def sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization of the events stream: a session breaks
+    where a user's inter-event gap exceeds ``gap_minutes`` (lag window →
+    new-session flag → running sum = session ordinal → per-session
+    aggregate). The batch form of the watermark-window family in
+    streaming.py; the reference's closest notion is TempOutlier's
+    calendar bucketing (Library/TempOutlier.R:52-89) — sessions are the
+    data-driven version of those buckets.
+
+    Scale: ONE hash exchange on user_id; both windows and the final
+    (user_id, session_id) aggregate reuse that partitioning (a subset
+    of the grouping key satisfies the clustered distribution), so
+    nothing shuffles twice. Order ties break on event_id —
+    deterministic under equal timestamps."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # interval arithmetic works on TIMESTAMP_NTZ (the table's type) and
+    # is timezone-free in both engines
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+    new_s = (prev.isNull() | ((F.col("ts") - prev) > gap)).cast("long")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = e.withColumn("_n", new_s).withColumn(
+        "session_id", F.sum("_n").over(run)
+    )
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )

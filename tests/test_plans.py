@@ -210,3 +210,15 @@ def test_chunking_no_shuffle_no_python(spark):
     plan = _plan(chunk_documents(load_table(spark, SF_SMOKE, "documents")))
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sessionize_one_exchange(spark):
+    """Sessionization must reuse the user_id partitioning end-to-end:
+    lag window, running-sum window, and the (user_id, session_id)
+    aggregate all sit on ONE hash exchange (a subset of the grouping
+    key satisfies the clustered distribution) — a second shuffle here
+    doubles the cost of every sessionized pass at scale."""
+    from data_quality_analysis_spark.operators.relational import sessionize
+
+    plan = _plan(sessionize(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
