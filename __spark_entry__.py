@@ -28,6 +28,7 @@ from data_quality_analysis_spark.operators import (
     relational,
     sampling,
     similarity,
+    temporal,
     text,
 )
 from data_quality_analysis_spark.pipeline import run_rules
@@ -457,11 +458,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_hot_buckets": dedup.hot_minhash_report,
     # relational operator inventory (SURVEY.md §2) — less-plain members
     # stay inside the checked window; the 13 plainest rotate to the tail.
-    "op_temporal_outlier": relational.temporal_outlier,
-    "op_numeric_outlier_bounds": relational.numeric_outlier_bounds,
-    "op_hierarchy_rollup": relational.hierarchy_rollup,
     "op_hierarchy_expansion": relational.hierarchy_expansion,
     "op_date_align": relational.date_align,
+    # temporal operators Spark lacks natively (round-4 additions, never
+    # driver-checked); op_temporal_outlier / op_numeric_outlier_bounds /
+    # op_hierarchy_rollup rotate to the tail with green rows from r1-r3
+    "op_asof_join": temporal.asof_purchases_clicks,
+    "op_range_join": temporal.incident_purchase_windows,
+    "op_time_rollup": temporal.time_rollup,
     # round-4 additions take the remaining checked slots (never driver-
     # checked before); op_json_extract / op_month_lag_delta /
     # op_datetime_consistency / op_future_dates rotate to the tail with
@@ -473,6 +477,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qf_suggested_bounds": _qf_suggested_bounds,
     # ---- tail: positions 51+ (driver-unchecked this round; all green in
     # rounds 1-3 and pytest-oracle-guarded locally) ----
+    "op_temporal_outlier": relational.temporal_outlier,
+    "op_numeric_outlier_bounds": relational.numeric_outlier_bounds,
+    "op_hierarchy_rollup": relational.hierarchy_rollup,
     "op_json_extract": relational.json_extract_stats,
     "op_month_lag_delta": relational.month_lag_delta,
     "op_datetime_consistency": relational.datetime_consistency,
@@ -586,6 +593,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
             INTERSECT
             SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        # as-of join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle — an
+        # independent implementation of the semantics, not a mirror of
+        # the union-then-window derivation. Right side deduped to one
+        # row per (user, ts) (max event_id) in both engines so ties are
+        # deterministic; gap in exact epoch microseconds (second-level
+        # date_diff counts boundary crossings and would diverge).
+        "op_asof_join": """
+            WITH clicks AS (
+              SELECT user_id, ts, round(value, 2) AS click_value,
+                     row_number() OVER (PARTITION BY user_id, ts
+                                        ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'click'),
+            c AS (SELECT user_id, ts, click_value FROM clicks WHERE rn = 1),
+            p AS (SELECT user_id, event_id, ts, round(value, 2) AS purchase_value
+                  FROM events WHERE event_type = 'purchase')
+            SELECT p.user_id, p.event_id, p.ts, p.purchase_value,
+                   c.ts AS click_ts, c.click_value,
+                   CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        # keyless range join: the oracle is the plain inequality join
+        # DuckDB can afford at this scale; Spark runs the bucketed form
+        "op_range_join": """
+            WITH i AS (
+              SELECT event_id AS incident_id, ts AS start_ts,
+                     ts + INTERVAL 2 HOUR AS end_ts
+              FROM events WHERE event_type = 'error'),
+            p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
+            SELECT i.incident_id, i.start_ts, i.end_ts,
+                   CAST(count(p.ts) AS BIGINT) AS n_purchases,
+                   round(coalesce(sum(p.value), 0), 2) AS purchase_value
+            FROM i LEFT JOIN p ON p.ts >= i.start_ts AND p.ts < i.end_ts
+            GROUP BY 1, 2, 3
+        """,
+        "op_time_rollup": """
+            SELECT coalesce(event_type, '<all>') AS event_type,
+                   coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '<all>') AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
         """,
         "op_month_lag_delta": """
             WITH daily AS (

@@ -1,0 +1,236 @@
+"""Temporal join operators Spark lacks natively: as-of join, interval
+range join, and multi-resolution time rollup.
+
+The reference's temporal surface is calendar-bucketed comparison
+(Library/TempOutlier.R:52-89 buckets by month and compares adjacent
+buckets); these operators generalize that to event time. Each is a
+composition of built-in DataFrame ops — no UDF, no cartesian product —
+chosen for the plan shape that survives 100 TB:
+
+- ``asof_join``: union-then-window. Tag both sides, union, one window
+  over (key, ts) carrying the last-seen right row forward. ONE hash
+  exchange on the key; never a range self-join, never per-row probing.
+- ``interval_point_join``: bucketed range join. Explode each interval
+  into the fixed-width time buckets it covers, bucket the points, hash
+  join on bucket, re-check exact containment. Shuffle volume is
+  O(points + intervals × buckets_per_interval) — no cross product, and
+  skew is bounded by the bucket width.
+- ``time_rollup``: Spark's native ROLLUP grouping sets (one shuffle,
+  partial aggregation per grouping set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark.session import load_table
+
+
+def _us(col) -> Column:
+    """Epoch microseconds of a (possibly NTZ) timestamp. The tables carry
+    TIMESTAMP_NTZ; unix_micros wants TIMESTAMP, and the NTZ→LTZ cast is
+    interpreted in the session zone (UTC here — session.py pins it, the
+    container default matches for vanilla driver sessions), which is
+    exactly DuckDB's epoch_us over naive timestamps."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    right_payload: list[str],
+    tie_col: str,
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``right.ts <= left.ts`` for the same ``on`` key (NULLs when none
+    precedes it). DuckDB spells this ASOF LEFT JOIN; Spark has no such
+    join, and the naive formulation (range self-join + row_number) pays
+    a join AND a window. This is the union-then-window form:
+
+    1. Both sides union into one frame; a `_side` column (right=0,
+       left=1) makes same-timestamp right rows sort BEFORE left rows,
+       giving the inclusive <= semantics.
+    2. ``last(right_struct, ignorenulls=True)`` over (key ORDER BY ts,
+       _side, tie) rows-unbounded-preceding carries the latest right
+       payload onto every left row. Filter back to left rows.
+
+    Timestamp ties on the right resolve to the max-``tie_col`` row with
+    NO dedup pass: within one timestamp the window walks right rows in
+    ascending tie order, so the last non-null struct it carries IS the
+    greatest tie — the sort does the dedup for free (a row_number
+    pre-dedup would cost a second exchange on (key, ts)).
+
+    Scale: ONE hash exchange on the key; the window sort replaces the
+    range join entirely. The carried payload is one struct per row —
+    no accumulation, constant memory per window frame.
+    """
+    r = right
+    r_struct = F.struct(*[F.col(c) for c in [ts_col, *right_payload]])
+
+    left_cols = [c for c in left.columns if c not in (on, ts_col)]
+    # ``tie_col`` orders RIGHT rows only; left rows carry a NULL tie —
+    # consecutive left rows see the same carried struct whatever their
+    # relative order, so left needs no tie column of its own.
+    l_tagged = left.select(
+        on,
+        ts_col,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[tie_col].dataType).alias("_tie"),
+        *[F.col(c) for c in left_cols],
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in r.select(r_struct.alias("_r")).schema["_r"].dataType.fields
+            ) + ">"
+        ).alias("_r"),
+    )
+    r_tagged = r.select(
+        on,
+        ts_col,
+        F.lit(0).alias("_side"),
+        F.col(tie_col).alias("_tie"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        r_struct.alias("_r"),
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "_side", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).withColumn(
+        "_match", F.last("_r", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        on, ts_col, *left_cols, F.col("_match")
+    )
+
+
+def asof_purchases_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: each purchase event annotated with the same user's
+    most recent click at or before it — the classic attribution as-of
+    join. Gap reported in exact microseconds (both engines compute it
+    as an epoch-microsecond difference; second-granularity date_diff
+    counts boundary crossings and would diverge)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.round("value", 2).alias("purchase_value")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.round("value", 2).alias("click_value")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts_col="ts",
+        right_payload=["click_value"],
+        tie_col="event_id",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "purchase_value",
+        F.col("_match.ts").alias("click_ts"),
+        F.col("_match.click_value").alias("click_value"),
+        (_us("ts") - _us(F.col("_match.ts"))).cast("long").alias("gap_us"),
+    )
+
+
+def interval_point_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    point_ts: str,
+    bucket_seconds: int,
+    agg_exprs: list,
+) -> DataFrame:
+    """Aggregate points falling inside [start, end) per interval — a
+    range join with NO equi key, the case where a naive theta join
+    degenerates to a broadcast nested loop over every (interval, point)
+    pair. Bucketing restores a hash join: each interval explodes into
+    the fixed-width time buckets it covers, each point hashes to its
+    own bucket, the join runs on bucket equality, and the exact
+    containment predicate filters residually. A point matches an
+    interval in exactly one bucket (its own), so no distinct pass is
+    needed. Intervals with zero points are preserved via a left join
+    back (count coalesces to 0).
+
+    Pick ``bucket_seconds`` ≈ the typical interval length: shuffle is
+    then O(points + 2·intervals) rows of (bucket, scalars)."""
+    b_us = int(bucket_seconds) * 1_000_000
+    i = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(_us(start_col) / b_us).cast("long"),
+                F.floor((_us(end_col) - 1) / b_us).cast("long"),
+            )
+        ),
+    )
+    p = points.withColumn("_bucket", F.floor(_us(point_ts) / b_us).cast("long"))
+    matched = i.join(p, "_bucket").filter(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    )
+    per_interval = matched.groupBy(*intervals.columns).agg(*agg_exprs)
+    return intervals.join(per_interval, intervals.columns, "left")
+
+
+def incident_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: every error event opens a 2-hour incident window;
+    count and sum the purchases (ANY user — keyless range join) landing
+    inside it. Bucket width = window length, so each incident covers at
+    most two buckets."""
+    e = load_table(spark, sf_dir, "events")
+    incidents = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("ts", "value")
+    joined = interval_point_join(
+        incidents,
+        purchases,
+        start_col="start_ts",
+        end_col="end_ts",
+        point_ts="ts",
+        bucket_seconds=7200,
+        agg_exprs=[
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.round(F.sum("value"), 2).alias("_v"),
+        ],
+    )
+    return joined.select(
+        "incident_id",
+        "start_ts",
+        "end_ts",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_purchases"),
+        F.coalesce(F.col("_v"), F.lit(0.0)).alias("purchase_value"),
+    )
+
+
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution event rollup — grand total, per event type, per
+    (type, day) — in ONE pass via native ROLLUP grouping sets (the
+    hypertable continuous-aggregate pattern; partial aggregation per
+    set, one shuffle). NULL group slots render as '<all>' so the output
+    is unambiguous (event_type itself is never NULL in the table)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("day").cast("string"), F.lit("<all>")).alias("day"),
+            "n_events",
+            "total_value",
+        )
+    )

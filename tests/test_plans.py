@@ -222,3 +222,30 @@ def test_sessionize_one_exchange(spark):
 
     plan = _plan(sessionize(spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_one_exchange_no_join(spark):
+    """The as-of join must stay the union-then-window form: one hash
+    exchange on the key and NO join operator — a range self-join here
+    would pay the right subtree twice (Spark never reuses self-join
+    inputs, see BENCH.md) plus an extra shuffle."""
+    from data_quality_analysis_spark.operators.temporal import (
+        asof_purchases_clicks,
+    )
+
+    plan = _plan(asof_purchases_clicks(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_range_join_never_nested_loop(spark):
+    """The keyless interval join must run on bucket equality — a
+    BroadcastNestedLoopJoin or cartesian here is the O(intervals ×
+    points) cliff the bucketing exists to avoid."""
+    from data_quality_analysis_spark.operators.temporal import (
+        incident_purchase_windows,
+    )
+
+    plan = _plan(incident_purchase_windows(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,109 @@
+"""Semantic edge tests for the temporal join operators (the oracle
+parity suite covers whole-table equivalence; these pin the edges that
+parity could only catch by luck: timestamp ties, interval boundaries,
+bucket alignment)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark.operators.temporal import (
+    asof_join,
+    interval_point_join,
+)
+
+
+def _ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_tie_breaks_to_max_tie_col(spark):
+    """Two right rows at the SAME (key, ts): the match must be the
+    max-tie row — the property the sort-based dedup-free formulation
+    guarantees (ascending tie order, last non-null wins)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100)], "k int, ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), 7, 0.5),
+            (1, _ts("2024-01-01T09:00:00"), 9, 0.9),
+            (1, _ts("2024-01-01T09:00:00"), 8, 0.7),
+        ],
+        "k int, ts timestamp, rid int, rv double",
+    )
+    out = asof_join(left, right, on="k", ts_col="ts", right_payload=["rv"], tie_col="rid").collect()
+    assert len(out) == 1
+    assert out[0]["_match"]["rv"] == 0.9
+
+
+def test_asof_inclusive_at_equal_ts_exclusive_after(spark):
+    """right.ts == left.ts matches (inclusive <=); right.ts just after
+    does not."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 1), (2, _ts("2024-01-01T10:00:00"), 2)],
+        "k int, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 5, 1.0),
+            (2, _ts("2024-01-01T10:00:00.000001"), 6, 2.0),
+        ],
+        "k int, ts timestamp, rid int, rv double",
+    )
+    rows = {
+        r["k"]: r["_match"]
+        for r in asof_join(
+            left, right, on="k", ts_col="ts", right_payload=["rv"], tie_col="rid"
+        ).collect()
+    }
+    assert rows[1] is not None and rows[1]["rv"] == 1.0
+    assert rows[2] is None
+
+
+def test_interval_join_boundaries_and_bucket_straddle(spark):
+    """[start, end) semantics: a point AT start matches, a point AT end
+    does not; a point in the interval's SECOND bucket (interval straddles
+    a bucket boundary) still matches exactly once."""
+    iv = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:30:00"), _ts("2024-01-01T12:30:00"))],
+        "iid int, s timestamp, e timestamp",
+    )
+    pts = spark.createDataFrame(
+        [
+            (_ts("2024-01-01T10:30:00"), 1.0),  # at start: in
+            (_ts("2024-01-01T12:30:00"), 1.0),  # at end: out
+            (_ts("2024-01-01T12:29:59"), 1.0),  # second bucket: in
+            (_ts("2024-01-01T10:29:59"), 1.0),  # before: out
+        ],
+        "ts timestamp, v double",
+    )
+    out = interval_point_join(
+        iv,
+        pts,
+        start_col="s",
+        end_col="e",
+        point_ts="ts",
+        bucket_seconds=3600,
+        agg_exprs=[F.count(F.lit(1)).alias("n")],
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n"] == 2
+
+
+def test_interval_join_keeps_empty_intervals(spark):
+    iv = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T01:00:00"))],
+        "iid int, s timestamp, e timestamp",
+    )
+    pts = spark.createDataFrame(
+        [(_ts("2024-06-01T00:00:00"), 1.0)], "ts timestamp, v double"
+    )
+    out = interval_point_join(
+        iv, pts, start_col="s", end_col="e", point_ts="ts",
+        bucket_seconds=3600,
+        agg_exprs=[F.count(F.lit(1)).alias("n")],
+    ).collect()
+    assert len(out) == 1 and out[0]["n"] is None
