@@ -28,6 +28,7 @@ from data_quality_analysis_spark.operators import (
     relational,
     sampling,
     similarity,
+    sketch,
     temporal,
     text,
 )
@@ -458,11 +459,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_hot_buckets": dedup.hot_minhash_report,
     # relational operator inventory (SURVEY.md §2) — less-plain members
     # stay inside the checked window; the 13 plainest rotate to the tail.
-    "op_hierarchy_expansion": relational.hierarchy_expansion,
-    "op_date_align": relational.date_align,
-    # temporal operators Spark lacks natively (round-4 additions, never
-    # driver-checked); op_temporal_outlier / op_numeric_outlier_bounds /
-    # op_hierarchy_rollup rotate to the tail with green rows from r1-r3
+    # round-4 additions (never driver-checked) take these slots;
+    # op_temporal_outlier / op_numeric_outlier_bounds /
+    # op_hierarchy_rollup / op_hierarchy_expansion / op_date_align
+    # rotate to the tail with green rows from r1-r3
+    "sample_split_by_cluster": sampling.sample_split_by_cluster,
+    "sketch_cms_topk": sketch.cms_heavy_hitters,
     "op_asof_join": temporal.asof_purchases_clicks,
     "op_range_join": temporal.incident_purchase_windows,
     "op_time_rollup": temporal.time_rollup,
@@ -480,6 +482,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_temporal_outlier": relational.temporal_outlier,
     "op_numeric_outlier_bounds": relational.numeric_outlier_bounds,
     "op_hierarchy_rollup": relational.hierarchy_rollup,
+    "op_hierarchy_expansion": relational.hierarchy_expansion,
+    "op_date_align": relational.date_align,
     "op_json_extract": relational.json_extract_stats,
     "op_month_lag_delta": relational.month_lag_delta,
     "op_datetime_consistency": relational.datetime_consistency,
@@ -968,6 +972,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE b1 < CASE WHEN lang = 'en' THEN 1000
                             WHEN lang = 'es' THEN 5000
                             ELSE 10000 END
+        """,
+        # leakage-safe split: hash over the exact-dedup GROUP key
+        # (normalized-content md5), so duplicates never straddle splits
+        "sample_split_by_cluster": r"""
+            WITH hashed AS (
+              SELECT doc_id, md5(lower(trim(regexp_replace(coalesce(text, ''),
+                     '\s+', ' ', 'g')))) AS content_hash
+              FROM documents),
+            b AS (
+              SELECT doc_id, content_hash,
+                ('0x' || substr(md5('split3|' || content_hash), 1, 15))::BIGINT
+                  % 10000 AS bkt
+              FROM hashed)
+            SELECT doc_id, content_hash,
+              CASE WHEN bkt < 8000 THEN 'train'
+                   WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+            FROM b
+        """,
+        # Count-Min Sketch: the full sketch (4×1024 md5-bucketed
+        # counters) and the point queries both re-derive in DuckDB
+        "sketch_cms_topk": r"""
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+'), x -> x <> ''))
+                     AS token
+              FROM documents),
+            rb AS (
+              SELECT token,
+                     ('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR)
+                       || '|' || token), 1, 15))::BIGINT % 1024 AS bucket,
+                     r.r AS row
+              FROM toks, (SELECT unnest(range(4)) AS r) r),
+            counters AS (
+              SELECT row, bucket, count(*) AS n FROM rb GROUP BY 1, 2),
+            cand AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+              FROM toks GROUP BY token
+              ORDER BY exact_n DESC, token ASC LIMIT 15),
+            ce AS (
+              SELECT c.token, c.exact_n,
+                ('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR)
+                  || '|' || c.token), 1, 15))::BIGINT % 1024 AS bucket,
+                r.r AS row
+              FROM cand c, (SELECT unnest(range(4)) AS r) r)
+            SELECT ce.token, ce.exact_n, CAST(min(ct.n) AS BIGINT) AS cms_est
+            FROM ce JOIN counters ct
+              ON ct.row = ce.row AND ct.bucket = ce.bucket
+            GROUP BY 1, 2
         """,
         "text_vocab_topk": r"""
             WITH toks AS (

@@ -101,3 +101,43 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_train_holdout(sampled, 0.2, key_col="doc_id").select(
         "doc_id", "lang", "is_holdout"
     )
+
+
+def split_by_group(
+    group_col: Column,
+    fractions: dict[str, float],
+    seed: str = "split",
+) -> Column:
+    """Leakage-safe split assignment: the hash is taken over a GROUP key
+    (e.g. a dedup-cluster id), so every member of a group lands in the
+    same split — near-identical documents can never straddle train and
+    eval, the contamination a row-level split invites. ``fractions``
+    maps split name → fraction (must sum to ≤ 1; any remainder goes to
+    the last split). Returns the split-name Column."""
+    b = _bucket(group_col, seed)
+    names = list(fractions)
+    acc = 0.0
+    expr = None
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = b < int(round(acc * SAMPLE_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1]))
+
+
+def sample_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: 80/10/10 train/val/test split of documents keyed on
+    the NORMALIZED CONTENT hash (dedup.exact group key), not doc_id —
+    exact duplicates always share a split. A narrow projection, no
+    shuffle; fully DuckDB-re-derivable (md5 bucket over md5 content
+    hash)."""
+    from data_quality_analysis_spark.operators.dedup import _normalized
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(_normalized())
+    split = split_by_group(
+        h, {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split3"
+    )
+    return d.select(
+        "doc_id", h.alias("content_hash"), split.alias("split")
+    )

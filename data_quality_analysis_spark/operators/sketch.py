@@ -1,0 +1,120 @@
+"""Count-Min Sketch — a distributed frequency sketch over the corpus
+vocabulary.
+
+At 100 TB an exact token-frequency table is itself a giant dataset; a
+CMS bounds the state at depth × width counters while answering "how
+often does token t occur" with a one-sided error (estimate ≥ truth,
+overshoot ≤ εN with probability 1 − δ). The construction here is pure
+DataFrame algebra and — unusually for a sketch — fully oracle-checkable,
+because the hash rows are the md5-60-bit trick (deterministic in both
+engines) rather than seeded RNG.
+
+Plan shape: one explode (×depth) over token rows, then ONE hash
+aggregate on (row, bucket). Partial aggregation caps every map task's
+output at depth × width rows no matter how many tokens it saw — the
+shuffle is O(depth × width × n_tasks), independent of corpus size.
+That bounded-shuffle property is the whole point of the sketch at
+scale; the reference has no sketch surface (its frequency checks are
+exact GROUP BYs, e.g. Library/CheckFunctions.R frequency tables), so
+this extends SURVEY §2's aggregation family to the streaming-friendly
+regime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark.session import load_table
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(token: Column, row: int) -> Column:
+    """Row-``row`` bucket of a token: md5-60-bit of ('cms{row}|' + token)
+    mod width. Spark conv(substr(md5,1,15),16,10) ≡ DuckDB
+    ('0x'||substr(md5,1,15))::BIGINT — the shared oracle trick."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(f"cms{row}"), token)), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % CMS_WIDTH
+
+
+def _token_rows(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per token OCCURRENCE (multiset, not set): lowercase
+    whitespace split — the same tokenization text.vocab_topk uses, so
+    sketch estimates are comparable to its exact counts."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", -1),
+        lambda x: x != "",
+    )
+    return df.select(F.explode(toks).alias("token"))
+
+
+def cms_counters(tokens: DataFrame) -> DataFrame:
+    """Build the sketch: (row, bucket) → count. Each token occurrence
+    increments one bucket per row; the explode-then-aggregate compiles
+    to a single hash aggregate whose partial (map-side) phase already
+    collapses to ≤ depth × width rows per task."""
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cms_bucket(F.col("token"), r).alias("bucket"),
+                )
+                for r in range(CMS_DEPTH)
+            ]
+        )
+    ).alias("rb")
+    return (
+        tokens.select(rb)
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def cms_estimate(candidates: DataFrame, counters: DataFrame) -> DataFrame:
+    """Point-query the sketch for each candidate token: min over the
+    depth rows of that token's bucket counter. ``candidates`` must carry
+    a ``token`` column; all its other columns pass through."""
+    expanded = candidates.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col("token"), r).alias("bucket"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("*", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    passthrough = [c for c in candidates.columns]
+    return (
+        expanded.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy(*passthrough)
+        .agg(F.min("n").alias("cms_est"))
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the exact top-15 tokens (deterministic tie-break on
+    the token) with their CMS estimates alongside the truth — the
+    one-sided-error property (est ≥ exact) is pinned by pytest and the
+    whole derivation re-runs in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = _token_rows(d)
+    counters = cms_counters(tokens)
+    cand = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+        .limit(15)
+    )
+    return cms_estimate(cand, counters).select("token", "exact_n", "cms_est")

@@ -268,3 +268,58 @@ def test_chunk_documents_reconstruction(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, max_tokens=8, overlap=8)
+
+
+def test_split_by_cluster_no_leakage(spark):
+    """Exact duplicates (same normalized content, different doc_id and
+    whitespace) must land in the SAME split — the contamination guard
+    the group-keyed hash exists for."""
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello   world\tfoo"),
+            (2, "hello world foo"),
+            (3, "  HELLO WORLD FOO  "),
+            (4, "something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    from data_quality_analysis_spark.operators.dedup import _normalized
+    from data_quality_analysis_spark.operators.sampling import split_by_group
+
+    out = docs.select(
+        "doc_id",
+        split_by_group(
+            F.md5(_normalized()), {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed="split3",
+        ).alias("split"),
+    ).collect()
+    splits = {r["doc_id"]: r["split"] for r in out}
+    assert splits[1] == splits[2] == splits[3]
+    assert set(splits.values()) <= {"train", "val", "test"}
+
+
+def test_cms_estimate_one_sided(spark):
+    """CMS point queries never undercount: est >= exact for every token
+    in the corpus (not just the head), on real sf0.001 documents."""
+    from data_quality_analysis_spark.operators import sketch
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    tokens = sketch._token_rows(d)
+    counters = sketch.cms_counters(tokens)
+    exact = tokens.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    est = sketch.cms_estimate(exact, counters)
+    bad = est.filter(F.col("cms_est") < F.col("exact_n")).count()
+    assert bad == 0
+    assert est.count() == exact.count()
+
+
+def test_cms_counters_bounded_state(spark):
+    """The sketch can never exceed depth × width rows, whatever the
+    corpus — the bounded-shuffle property that makes it a sketch."""
+    from data_quality_analysis_spark.operators import sketch
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = sketch.cms_counters(sketch._token_rows(d)).count()
+    assert n <= sketch.CMS_DEPTH * sketch.CMS_WIDTH
