@@ -456,7 +456,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup.simhash_fingerprints,
     "dedup_simhash_pairs": dedup.simhash_near_pairs,
     "dedup_clusters": dedup.dedup_clusters,
-    "dedup_hot_buckets": dedup.hot_minhash_report,
     # relational operator inventory (SURVEY.md §2) — less-plain members
     # stay inside the checked window; the 13 plainest rotate to the tail.
     # round-4 additions (never driver-checked) take these slots;
@@ -465,6 +464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotate to the tail with green rows from r1-r3
     "sample_split_by_cluster": sampling.sample_split_by_cluster,
     "sketch_cms_topk": sketch.cms_heavy_hitters,
+    "sketch_lc_distinct": sketch.lc_distinct_shingles,
     "op_asof_join": temporal.asof_purchases_clicks,
     "op_range_join": temporal.incident_purchase_windows,
     "op_time_rollup": temporal.time_rollup,
@@ -505,6 +505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_union_distinct": relational.union_distinct_keys,
     "op_format_check": relational.format_check,
     "op_pct_of_total": relational.pct_of_total,
+    "dedup_hot_buckets": dedup.hot_minhash_report,
 }
 
 
@@ -1020,6 +1021,34 @@ def oracle_sql() -> dict[str, str]:
             FROM ce JOIN counters ct
               ON ct.row = ce.row AND ct.bucket = ce.bucket
             GROUP BY 1, 2
+        """,
+        # linear-counting distinct sketch: bitmap buckets, exact count,
+        # and the m·ln(m/zeros) estimate all re-derived in DuckDB
+        "sketch_lc_distinct": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(trim(regexp_replace(
+                       coalesce(text, ''), '\s+', ' ', 'g'))), ' '),
+                       x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT unnest([array_to_string(toks[i:i+2], ' ')
+                             FOR i IN generate_series(1, len(toks) - 2)])
+                       AS shingle
+              FROM norm WHERE len(toks) >= 3),
+            b AS (
+              SELECT shingle,
+                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 65536
+                       AS bkt
+              FROM sh),
+            a AS (
+              SELECT CAST(count(DISTINCT shingle) AS BIGINT) AS n_exact,
+                     CAST(count(DISTINCT bkt) AS BIGINT) AS n_buckets_hit
+              FROM b)
+            SELECT n_exact, n_buckets_hit,
+                   round(65536.0 * ln(65536.0 / (65536.0 - n_buckets_hit)), 2)
+                     AS lc_estimate
+            FROM a
         """,
         "text_vocab_topk": r"""
             WITH toks AS (

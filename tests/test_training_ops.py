@@ -323,3 +323,13 @@ def test_cms_counters_bounded_state(spark):
     d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     n = sketch.cms_counters(sketch._token_rows(d)).count()
     assert n <= sketch.CMS_DEPTH * sketch.CMS_WIDTH
+
+
+def test_lc_estimate_close_to_exact(spark):
+    """Linear counting at load factor ~0.25 has sub-1% std error; allow
+    3% — a regression past that means the hash or formula broke."""
+    from data_quality_analysis_spark.operators import sketch
+
+    row = sketch.lc_distinct_shingles(spark, SF_SMOKE).collect()[0]
+    assert row["n_buckets_hit"] <= row["n_exact"]
+    assert abs(row["lc_estimate"] - row["n_exact"]) / row["n_exact"] < 0.03
