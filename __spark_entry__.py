@@ -453,7 +453,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_first": dedup.dedup_keep_first,
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
     "dedup_ngram_jaccard": dedup.ngram_jaccard,
-    "dedup_simhash": dedup.simhash_fingerprints,
     "dedup_simhash_pairs": dedup.simhash_near_pairs,
     "dedup_clusters": dedup.dedup_clusters,
     # relational operator inventory (SURVEY.md §2) — less-plain members
@@ -465,6 +464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_split_by_cluster": sampling.sample_split_by_cluster,
     "sketch_cms_topk": sketch.cms_heavy_hitters,
     "sketch_lc_distinct": sketch.lc_distinct_shingles,
+    "text_decontaminate_bloom": sketch.decontaminate_bloom,
     "op_asof_join": temporal.asof_purchases_clicks,
     "op_range_join": temporal.incident_purchase_windows,
     "op_time_rollup": temporal.time_rollup,
@@ -506,6 +506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_format_check": relational.format_check,
     "op_pct_of_total": relational.pct_of_total,
     "dedup_hot_buckets": dedup.hot_minhash_report,
+    "dedup_simhash": dedup.simhash_fingerprints,
 }
 
 
@@ -1120,6 +1121,50 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_shared, 0) AS n_shared,
                    coalesce(n_shared, 0) >= 5 AS contaminated
             FROM documents d LEFT JOIN shared USING (doc_id)
+        """,
+        # Bloom two-phase decontamination: filter bits, membership test
+        # (all k bits set), and exact confirm all re-derived in DuckDB
+        "text_decontaminate_bloom": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(trim(regexp_replace(
+                       coalesce(text, ''), '\s+', ' ', 'g'))), ' '),
+                       x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       [array_to_string(toks[i:i+2], ' ')
+                        FOR i IN generate_series(1, len(toks) - 2)]))
+                       AS shingle
+              FROM norm WHERE len(toks) >= 3),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 0),
+            bits AS (
+              SELECT DISTINCT ('0x' || substr(md5('bloom'
+                       || CAST(r.r AS VARCHAR) || '|' || shingle), 1, 15)
+                     )::BIGINT % 65536 AS bit
+              FROM bench, (SELECT unnest(range(4)) AS r) r),
+            expanded AS (
+              SELECT doc_id, shingle,
+                     ('0x' || substr(md5('bloom'
+                       || CAST(r.r AS VARCHAR) || '|' || shingle), 1, 15)
+                     )::BIGINT % 65536 AS bit
+              FROM sh, (SELECT unnest(range(4)) AS r) r),
+            cand AS (
+              SELECT doc_id, shingle
+              FROM expanded JOIN bits USING (bit)
+              GROUP BY doc_id, shingle HAVING count(*) = 4),
+            pb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom
+                   FROM cand GROUP BY doc_id),
+            pe AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                   FROM cand c JOIN bench USING (shingle)
+                   GROUP BY c.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(n_bloom, 0) AS BIGINT) AS n_bloom,
+                   CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+                   coalesce(n_shared, 0) >= 5 AS contaminated
+            FROM documents d LEFT JOIN pb USING (doc_id)
+                             LEFT JOIN pe USING (doc_id)
         """,
         "sim_lsh_topk": oracles.lsh_topk_oracle(),
         "mm_media_features": oracles.media_features_oracle(),

@@ -63,6 +63,9 @@ BENCH_QUERIES = (
     "dedup_minhash_lsh",
     "text_quality_score",
     "sim_brute_topk",
+    "op_asof_join",
+    "op_range_join",
+    "sketch_cms_topk",
 )
 
 

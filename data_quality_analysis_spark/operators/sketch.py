@@ -156,3 +156,93 @@ def lc_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(m) * F.log(F.lit(m) / (F.lit(m) - F.col("n_buckets_hit"))), 2
         ).alias("lc_estimate"),
     )
+
+
+BLOOM_M = 65_536  # bits
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_bit(shingle: Column, i: int) -> Column:
+    """Hash-``i`` bit position of a shingle (md5-60-bit trick, shared
+    with the DuckDB oracle)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(f"bloom{i}"), shingle)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % BLOOM_M
+
+
+def _bloom_expand(df: DataFrame, *keep: str) -> DataFrame:
+    """Explode each shingle row into its BLOOM_K bit positions."""
+    bits = F.explode(
+        F.array(*[_bloom_bit(F.col("shingle"), i) for i in range(BLOOM_K)])
+    ).alias("bit")
+    return df.select(*keep, bits)
+
+
+def bloom_bits(shingles: DataFrame) -> DataFrame:
+    """The SET BITS of a Bloom filter over a shingle set — at most
+    min(k·|set|, m) integer rows. This is the broadcastable sketch: for
+    a large benchmark suite the bit table is capped at m rows (8 B
+    each) no matter how many shingles went in, where broadcasting the
+    raw shingle strings would grow without bound."""
+    return _bloom_expand(shingles).distinct()
+
+
+def bloom_prune(doc_shingles: DataFrame, bits: DataFrame) -> DataFrame:
+    """Keep only (doc_id, shingle) rows whose EVERY bit is set in the
+    filter — the Bloom membership test as pure DataFrame algebra: expand
+    to k bit rows, broadcast-join the bit table, survive iff all k rows
+    matched. One-sided by construction: a true member always passes
+    (no false negatives); a non-member passes only on a k-fold
+    collision. No driver-side bitset, no UDF."""
+    expanded = _bloom_expand(doc_shingles, "doc_id", "shingle")
+    return (
+        expanded.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") == BLOOM_K)
+        .select("doc_id", "shingle")
+    )
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: two-phase benchmark decontamination — Bloom-prune
+    candidate shingles against the benchmark's 64k-bit filter, then
+    exact-confirm ONLY the survivors against the real shingle set (the
+    expensive string join never sees a shingle the filter rejected).
+    Same pseudo-benchmark as ``text_decontaminate`` (every 101st doc),
+    so the two queries are directly comparable: ``n_bloom`` ≥
+    ``n_shared`` row-for-row (Bloom's one-sided error), and the
+    ``contaminated`` verdict is identical because phase 2 is exact."""
+    from data_quality_analysis_spark.operators.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    doc_sh = shingle_rows(d, n=3)
+    bench_sh = (
+        shingle_rows(d.filter((F.col("doc_id") % 101) == 0), n=3)
+        .select("shingle")
+        .distinct()
+    )
+    candidates = bloom_prune(doc_sh, bloom_bits(bench_sh))
+    confirmed = candidates.join(F.broadcast(bench_sh), "shingle")
+    per_doc_bloom = candidates.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bloom")
+    )
+    per_doc_exact = confirmed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc_bloom, "doc_id", "left")
+        .join(per_doc_exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom", F.lit(0)).cast("long").alias("n_bloom"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= 5).alias("contaminated"),
+        )
+    )

@@ -333,3 +333,26 @@ def test_lc_estimate_close_to_exact(spark):
     row = sketch.lc_distinct_shingles(spark, SF_SMOKE).collect()[0]
     assert row["n_buckets_hit"] <= row["n_exact"]
     assert abs(row["lc_estimate"] - row["n_exact"]) / row["n_exact"] < 0.03
+
+
+def test_bloom_decontaminate_matches_exact(spark):
+    """Bloom prune is one-sided (n_bloom >= n_shared everywhere) and the
+    final contaminated verdict is IDENTICAL to the exact path — phase 2
+    confirms, so Bloom false positives can inflate candidates but never
+    the verdict."""
+    from data_quality_analysis_spark.operators import sketch
+
+    bloom = {
+        r["doc_id"]: r
+        for r in sketch.decontaminate_bloom(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["doc_id"]: r
+        for r in text.decontaminate_documents(spark, SF_SMOKE).collect()
+    }
+    assert bloom.keys() == exact.keys()
+    for doc_id, b in bloom.items():
+        e = exact[doc_id]
+        assert b["n_bloom"] >= b["n_shared"]
+        assert b["n_shared"] == e["n_shared"]
+        assert b["contaminated"] == e["contaminated"]
