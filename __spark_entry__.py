@@ -453,7 +453,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_first": dedup.dedup_keep_first,
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
     "dedup_ngram_jaccard": dedup.ngram_jaccard,
-    "dedup_simhash_pairs": dedup.simhash_near_pairs,
     "dedup_clusters": dedup.dedup_clusters,
     # relational operator inventory (SURVEY.md §2) — less-plain members
     # stay inside the checked window; the 13 plainest rotate to the tail.
@@ -465,6 +464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_cms_topk": sketch.cms_heavy_hitters,
     "sketch_lc_distinct": sketch.lc_distinct_shingles,
     "text_decontaminate_bloom": sketch.decontaminate_bloom,
+    "sample_mixture_weights": sampling.sample_mixture_weights,
     "op_asof_join": temporal.asof_purchases_clicks,
     "op_range_join": temporal.incident_purchase_windows,
     "op_time_rollup": temporal.time_rollup,
@@ -507,6 +507,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_pct_of_total": relational.pct_of_total,
     "dedup_hot_buckets": dedup.hot_minhash_report,
     "dedup_simhash": dedup.simhash_fingerprints,
+    "dedup_simhash_pairs": dedup.simhash_near_pairs,
 }
 
 
@@ -1121,6 +1122,16 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_shared, 0) AS n_shared,
                    coalesce(n_shared, 0) >= 5 AS contaminated
             FROM documents d LEFT JOIN shared USING (doc_id)
+        """,
+        # temperature-scaled mixture weights: n^α shares re-derived in
+        # DuckDB (same integer inputs → same IEEE doubles → same round)
+        "sample_mixture_weights": """
+            WITH c AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY lang),
+            t AS (SELECT sum(pow(n_docs, 0.7)) AS tt FROM c)
+            SELECT lang, n_docs, round(pow(n_docs, 0.7) / tt, 6) AS weight
+            FROM c, t
         """,
         # Bloom two-phase decontamination: filter bits, membership test
         # (all k bits set), and exact confirm all re-derived in DuckDB

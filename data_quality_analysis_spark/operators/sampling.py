@@ -141,3 +141,33 @@ def sample_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", h.alias("content_hash"), split.alias("split")
     )
+
+
+def mixture_weights(
+    df: DataFrame, group_col: str, alpha: float = 0.7
+) -> DataFrame:
+    """Temperature-scaled mixture weights over a grouping column — the
+    multilingual-sampling primitive (weight ∝ n^α flattens the head and
+    boosts the tail as α → 0; α = 1 is proportional). One map-side
+    combinable aggregate over (group → count), then a tiny broadcast of
+    the per-group table against its own sum — nothing here scales with
+    row count, only with the number of groups."""
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    powered = counts.withColumn("_p", F.pow(F.col("n_docs"), F.lit(alpha)))
+    total = powered.agg(F.sum("_p").alias("_t"))
+    return (
+        powered.crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            "n_docs",
+            F.round(F.col("_p") / F.col("_t"), 6).alias("weight"),
+        )
+    )
+
+
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: α = 0.7 temperature weights per document language."""
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_weights(d, "lang", alpha=0.7)

@@ -249,3 +249,16 @@ def test_range_join_never_nested_loop(spark):
     plan = _plan(incident_purchase_windows(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sketch_plans(spark):
+    """CMS point queries must broadcast the (≤ depth×width)-row counter
+    table, and Bloom pruning must stay broadcast-hash — a sort-merge or
+    nested-loop here would shuffle the full corpus-shingle stream
+    against a table that fits in one broadcast."""
+    from data_quality_analysis_spark.operators import sketch
+
+    cms = _plan(sketch.cms_heavy_hitters(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in cms
+    bloom = _plan(sketch.decontaminate_bloom(spark, SF_SMOKE))
+    assert "NestedLoop" not in bloom and "CartesianProduct" not in bloom
