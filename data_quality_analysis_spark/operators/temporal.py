@@ -162,7 +162,15 @@ def interval_point_join(
     back (count coalesces to 0).
 
     Pick ``bucket_seconds`` ≈ the typical interval length: shuffle is
-    then O(points + 2·intervals) rows of (bucket, scalars)."""
+    then O(points + 2·intervals) rows of (bucket, scalars). A burst of
+    co-timed points lands in one hot bucket — AQE skew-join splitting
+    (on in session.py) re-plans that at runtime; correctness never
+    depends on the spread (skew pytest in tests/test_temporal.py).
+
+    ``intervals`` rows must be unique (give them an id column): the
+    per-interval aggregate groups by ALL interval columns, so two
+    byte-identical interval rows would merge and then each copy would
+    re-join the combined aggregate."""
     b_us = int(bucket_seconds) * 1_000_000
     i = intervals.withColumn(
         "_bucket",

@@ -107,3 +107,25 @@ def test_interval_join_keeps_empty_intervals(spark):
         agg_exprs=[F.count(F.lit(1)).alias("n")],
     ).collect()
     assert len(out) == 1 and out[0]["n"] is None
+
+
+def test_interval_join_hot_bucket_skew(spark):
+    """Adversarial skew: every point in ONE bucket and every interval
+    covering it. The bucket join degenerates to a single hot key —
+    results must stay exact (AQE may split it; correctness can't depend
+    on the spread)."""
+    base = _ts("2024-01-01T10:00:00")
+    iv = spark.createDataFrame(
+        [(i, base, _ts("2024-01-01T11:00:00")) for i in range(50)],
+        "iid int, s timestamp, e timestamp",
+    )
+    pts = spark.createDataFrame(
+        [(base, 1.0)] * 400, "ts timestamp, v double"
+    )
+    out = interval_point_join(
+        iv, pts, start_col="s", end_col="e", point_ts="ts",
+        bucket_seconds=3600,
+        agg_exprs=[F.count(F.lit(1)).alias("n")],
+    ).collect()
+    assert len(out) == 50
+    assert all(r["n"] == 400 for r in out)
