@@ -398,3 +398,66 @@ def latest_keep_rates(spark: SparkSession, output_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn", "batch_id")
     )
+
+
+# -------------------------------------------- streaming sessionization --
+def session_stream(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming gap-based sessionization via Spark's native
+    ``session_window`` — the streaming twin of
+    operators/relational.sessionize (same 30-minute-gap semantics, the
+    same session boundaries on the same data; batch-parity pytest).
+    session_window merges a key's events into one window while each new
+    event lands within ``gap`` of the window's end, extending it;
+    watermark eviction finalizes a session once no in-horizon event can
+    extend it, so state is O(open sessions), not O(history). In append
+    mode each session emits exactly once, closed."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_session_stream_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> None:
+    """Incremental sessionization run (append mode): each invocation
+    appends the sessions finalized by the advanced watermark."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    q = (
+        session_stream(src, ts_col, key_col, gap, watermark)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
