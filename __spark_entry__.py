@@ -453,7 +453,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_first": dedup.dedup_keep_first,
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
     "dedup_ngram_jaccard": dedup.ngram_jaccard,
-    "dedup_clusters": dedup.dedup_clusters,
     # relational operator inventory (SURVEY.md §2) — less-plain members
     # stay inside the checked window; the 13 plainest rotate to the tail.
     # round-4 additions (never driver-checked) take these slots;
@@ -465,6 +464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_lc_distinct": sketch.lc_distinct_shingles,
     "text_decontaminate_bloom": sketch.decontaminate_bloom,
     "sample_mixture_weights": sampling.sample_mixture_weights,
+    "sim_cluster_centroids": similarity.cluster_centroids,
     "op_asof_join": temporal.asof_purchases_clicks,
     "op_range_join": temporal.incident_purchase_windows,
     "op_time_rollup": temporal.time_rollup,
@@ -508,6 +508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_hot_buckets": dedup.hot_minhash_report,
     "dedup_simhash": dedup.simhash_fingerprints,
     "dedup_simhash_pairs": dedup.simhash_near_pairs,
+    "dedup_clusters": dedup.dedup_clusters,
 }
 
 
@@ -881,6 +882,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
             SELECT s AS vec_id, least(s, min(d)) AS cluster_id
             FROM reach GROUP BY s"""
+        ),
+        # per-cluster centroids: the same recursive closure, then
+        # fixed-point (floor(x·2^20)) integer sums per dimension —
+        # exact in any order, so the float mean is oracle-checkable
+        "sim_cluster_centroids": (
+            f"WITH RECURSIVE {_EMB_PAIRS_CTE.format(planted=_PLANTED_EMB)},\n"
+            """            edges AS (
+              SELECT id_a AS s, id_b AS d FROM emb_pairs
+              UNION
+              SELECT id_b AS s, id_a AS d FROM emb_pairs),
+            reach(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+            cl AS (SELECT s AS vec_id, least(s, min(d)) AS cluster_id
+                   FROM reach GROUP BY s),
+            ex AS (
+              SELECT cl.cluster_id,
+                     unnest([{'pos': i - 1,
+                              'q': CAST(floor(CAST(p.embedding[i] AS DOUBLE)
+                                    * 1048576.0) AS BIGINT)}
+                             FOR i IN generate_series(1, len(p.embedding))])
+                       AS e
+              FROM cl JOIN planted p ON p.vec_id = cl.vec_id),
+            agg AS (
+              SELECT cluster_id, e.pos AS pos,
+                     CAST(count(*) AS BIGINT) AS n_members,
+                     sum(e.q) AS qsum
+              FROM ex GROUP BY 1, 2)
+            SELECT cluster_id, CAST(pos AS INT) AS pos, n_members,
+                   round(qsum / (n_members * 1048576.0), 6) AS coord
+            FROM agg"""
         ),
         "qf_threshold_sweep": oracles.threshold_sweep_oracle(),
         "qf_suggested_bounds": oracles.suggested_bounds_oracle(),

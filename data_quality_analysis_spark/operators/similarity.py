@@ -422,3 +422,47 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def cluster_centroids(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """Per-semantic-cluster centroid — the representative vector a
+    semantic-dedup pass keeps (or the seed a re-clustering pass starts
+    from). Flat output, one row per (cluster, dimension).
+
+    Float mean is shuffle-order-dependent (doubles don't associate), so
+    the coordinates are computed over the SAME floor(x·2^20) fixed-point
+    quantization the LSH sign bits use (similarity.py:74-76): integer
+    sums are exact in any order, in both engines — the centroid is
+    bit-identical under repartitioning AND fully DuckDB-oracle-checkable.
+    Shape: posexplode to (cluster, pos, q) — dims × members rows of three
+    scalars — then one map-side-combinable (cluster, pos) aggregate; no
+    array ever rides a shuffle."""
+    from data_quality_analysis_spark.fixtures import planted_embeddings
+
+    clusters = embedding_clusters(spark, sf_dir, threshold)
+    emb = planted_embeddings(spark, sf_dir)
+    ex = clusters.join(emb, "vec_id").select(
+        "cluster_id", F.posexplode("embedding").alias("pos", "val")
+    )
+    q = F.floor(F.col("val").cast("double") * F.lit(float(LSH_QUANT))).cast(
+        "long"
+    )
+    return (
+        ex.withColumn("q", q)
+        .groupBy("cluster_id", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("q").alias("qsum"),
+        )
+        .select(
+            "cluster_id",
+            "pos",
+            "n_members",
+            F.round(
+                F.col("qsum") / (F.col("n_members") * F.lit(float(LSH_QUANT))),
+                6,
+            ).alias("coord"),
+        )
+    )

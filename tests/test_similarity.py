@@ -130,3 +130,25 @@ def test_ivf_recall_at_least_nprobe_fraction(spark):
         by_q.setdefault(r["query_id"], []).append(r["vec_id"])
     for q, expect in exact.items():
         assert by_q[q] == [i for i, _ in expect]
+
+
+def test_cluster_centroids_partition_invariant(spark):
+    """The fixed-point centroid must be BIT-identical under different
+    partitioning — the property float sums lack and the reason the
+    coordinates aggregate quantized integers."""
+    from data_quality_analysis_spark.operators.similarity import (
+        cluster_centroids,
+    )
+    from tests.conftest import SF_SMOKE
+
+    a = cluster_centroids(spark, SF_SMOKE)
+    rows_a = {(r["cluster_id"], r["pos"]): (r["n_members"], r["coord"])
+              for r in a.collect()}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        rows_b = {(r["cluster_id"], r["pos"]): (r["n_members"], r["coord"])
+                  for r in cluster_centroids(spark, SF_SMOKE).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert rows_a == rows_b and rows_a
