@@ -452,7 +452,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup.exact_duplicates,
     "dedup_keep_first": dedup.dedup_keep_first,
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-    "dedup_ngram_jaccard": dedup.ngram_jaccard,
     # relational operator inventory (SURVEY.md §2) — less-plain members
     # stay inside the checked window; the 13 plainest rotate to the tail.
     # round-4 additions (never driver-checked) take these slots;
@@ -465,6 +464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_decontaminate_bloom": sketch.decontaminate_bloom,
     "sample_mixture_weights": sampling.sample_mixture_weights,
     "sim_cluster_centroids": similarity.cluster_centroids,
+    "text_tfidf_topk": text.tfidf_topk,
     "op_asof_join": temporal.asof_purchases_clicks,
     "op_range_join": temporal.incident_purchase_windows,
     "op_time_rollup": temporal.time_rollup,
@@ -509,6 +509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup.simhash_fingerprints,
     "dedup_simhash_pairs": dedup.simhash_near_pairs,
     "dedup_clusters": dedup.dedup_clusters,
+    "dedup_ngram_jaccard": dedup.ngram_jaccard,
 }
 
 
@@ -1084,6 +1085,36 @@ def oracle_sql() -> dict[str, str]:
                    round(65536.0 * ln(65536.0 / (65536.0 - n_buckets_hit)), 2)
                      AS lc_estimate
             FROM a
+        """,
+        # TF-IDF: integer tf/df + idf rounded to 6 BEFORE ranking, so
+        # the per-doc top-k is decided on bit-identical values
+        "text_tfidf_topk": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+'), x -> x <> ''))
+                       AS token
+              FROM documents),
+            tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, token),
+            dfreq AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY token),
+            total AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs
+                      FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf,
+                     round(tf.tf * round(ln(n_docs / df), 6), 6) AS tfidf
+              FROM tf JOIN dfreq USING (token), total),
+            ranked AS (
+              SELECT doc_id, token, tf, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, token ASC)
+                       AS rnk
+              FROM scored)
+            SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, tfidf
+            FROM ranked WHERE rnk <= 3
         """,
         "text_vocab_topk": r"""
             WITH toks AS (

@@ -315,3 +315,47 @@ def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     range() + list_slice re-derivation."""
     d = load_table(spark, sf_dir, "documents")
     return chunk_documents(d).orderBy("doc_id", "chunk_id")
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic salience ranking a
+    corpus browser / near-dup explainer wants next to raw counts. Three
+    shuffles, each on the natural key: (doc, token) term frequencies,
+    token document frequencies, then a per-doc top-k window; the
+    N-docs scalar rides a broadcast. All counts are integers and the
+    ranking uses idf ROUNDED to 6 places first (ties then break on the
+    token), so the ordering is decided on values both engines hold
+    bit-identically — never on a raw float that could differ by an ulp
+    between libm implementations."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", -1),
+        lambda x: x != "",
+    )
+    rows = d.select("doc_id", F.explode(toks).alias("token"))
+    tf = rows.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    total = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf6 = F.round(F.log(F.col("n_docs") / F.col("df")), 6)
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(F.col("tf") * idf6, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "rnk", "token", "tf", "tfidf")
+    )
