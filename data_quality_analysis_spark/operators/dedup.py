@@ -606,6 +606,68 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("doc_id")
 
 
+def incremental_lsh_matches(
+    index_df: DataFrame,
+    delta_df: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1_000,
+) -> DataFrame:
+    """Incremental dedup: match a NEW batch against an EXISTING corpus —
+    the production shape at 100 TB, where the corpus's MinHash index is
+    built once and each day's crawl is checked against it without ever
+    re-pairing the corpus with itself. (The reference's analog is the
+    cycle-over-cycle comparison: each DQA run checks the new cycle's
+    data against the previous cycle's stored summaries rather than
+    recomputing history.)
+
+    Both sides run the same md5/universal-hash banding
+    (:func:`_banded_signatures` — in production the index side is a
+    one-time materialization; here it is derived inline). The join is a
+    genuine two-input equi-join on (band, bucket) — NOT a self-join, so
+    the no-work-sharing caveat doesn't apply and each side's pipeline
+    evaluates once. The index side aggregates to one row per bucket
+    (``collect_list`` of 8-byte ids, the linear-buffer pattern from
+    :func:`lsh_candidate_pairs`) and over-cap buckets are dropped by a
+    size filter BEFORE the join — a delta doc landing in an exact-dup
+    mega-bucket gets no candidates from that band (exact dups belong to
+    the hash-groupBy dedup, run first); dropped buckets stay visible via
+    :func:`hot_minhash_buckets` on the index side. Output: distinct
+    (new_doc, index_doc) candidate pairs — scalars only, so the final
+    ``distinct`` never carries an array through a shuffle.
+    """
+    bi = _banded_signatures(index_df, n_hashes, bands, shingle_n)
+    bd = _banded_signatures(delta_df, n_hashes, bands, shingle_n)
+    buckets = (
+        bi.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("_ids"))
+        .filter(F.size("_ids") <= max_bucket)
+    )
+    return (
+        bd.join(buckets, ["band", "bucket"])
+        .select(
+            F.col("doc_id").alias("new_doc"),
+            F.explode("_ids").alias("index_doc"),
+        )
+        .filter(F.col("new_doc") != F.col("index_doc"))
+        .distinct()
+    )
+
+
+def incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: even doc_ids play the incoming batch, odd doc_ids
+    the existing corpus index; candidates are every (new, indexed) pair
+    sharing a MinHash band bucket. Full oracle — both sides' banded
+    signatures re-derive exactly in DuckDB (same md5-60-bit scheme as
+    ``dedup_minhash_lsh``) and the parity split is integer modulo."""
+    d = load_table(spark, sf_dir, "documents")
+    return incremental_lsh_matches(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+    ).orderBy("new_doc", "index_doc")
+
+
 def hot_minhash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query for the cap reporter: (band, bucket, n) the
     max_bucket=50 cap would drop, over the planted clone-cluster fixture

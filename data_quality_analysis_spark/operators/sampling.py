@@ -17,7 +17,7 @@ RNG state, trivially pushed past column pruning.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_quality_analysis_spark.session import load_table
@@ -171,3 +171,72 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: α = 0.7 temperature weights per document language."""
     d = load_table(spark, sf_dir, "documents")
     return mixture_weights(d, "lang", alpha=0.7)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int,
+    lang_col: str = "lang",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "budget",
+) -> DataFrame:
+    """Deterministic take-until-token-budget per language — the "give me
+    exactly 50B tokens of French" primitive a training-mix builder runs
+    after :func:`mixture_weights` turns proportions into budgets.
+
+    Documents are consumed in salted-hash-bucket order (stable across
+    runs and clusters, like every sampler here) and WHOLE buckets are
+    kept while the running token total BEFORE the bucket is under the
+    language's budget — so the cut lands within one bucket (≤0.01% of
+    the language) of the target and the kept set is a superset-stable
+    prefix: raising a budget only ever ADDS buckets, never swaps rows.
+
+    Two passes, neither of which sorts the corpus: pass 1 is a narrow
+    map-side-combinable aggregate to (lang, bucket) token sums — at most
+    SAMPLE_BUCKETS rows per language, so the prefix-sum window over it
+    is a tiny-table sort, NOT a per-language sort of the corpus (the
+    trap a row-level cumulative window would be: one partition per
+    language). Pass 2 re-scans and keeps rows whose (lang, bucket) is in
+    the broadcast cut table — the big side never shuffles. The
+    tokenizer is the whitespace split shared with text.token_stats."""
+    ntok = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+", -1),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    b = _bucket(F.col(key_col), seed)
+    rows = df.withColumn("bucket", b).withColumn("n_tokens", ntok)
+    per_bucket = rows.groupBy(lang_col, "bucket").agg(
+        F.sum("n_tokens").alias("_bt")
+    )
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.lit(default_budget).cast("long")
+    for lang, v in sorted(budgets.items()):
+        budget = F.when(F.col(lang_col) == lang, v).otherwise(budget)
+    keep = (
+        per_bucket.withColumn(
+            "_cum_before",
+            F.coalesce(F.sum("_bt").over(w), F.lit(0)).cast("long"),
+        )
+        .filter(F.col("_cum_before") < budget)
+        .select(lang_col, "bucket")
+    )
+    return rows.join(F.broadcast(keep), [lang_col, "bucket"])
+
+
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-language token budgets over documents (en 5000,
+    es 2000, others 1500 — each cuts roughly half the language at test
+    scale). Full oracle: bucket hash, per-bucket sums, and the
+    prefix-sum cut all re-derive exactly in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return token_budget_sample(
+        d, {"en": 5000, "es": 2000}, default_budget=1500
+    ).select("doc_id", "lang", F.col("bucket").cast("long"), "n_tokens")

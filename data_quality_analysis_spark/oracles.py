@@ -673,6 +673,36 @@ FROM kept a JOIN kept b
     )
 
 
+def incremental_minhash_oracle(
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1_000,
+) -> str:
+    """Full SQL re-derivation of dedup.incremental_minhash: band the
+    whole corpus once (identical md5/universal-hash scheme), split by
+    doc_id parity into index (odd) and delta (even), drop index buckets
+    over the cap, then join the delta rows against the surviving index
+    rows on (band, bucket)."""
+    prefix = _minhash_banded_prefix(
+        "SELECT doc_id, text FROM documents", n_hashes, bands, shingle_n
+    )
+    return (
+        prefix
+        + f""",
+idx AS (SELECT doc_id, band, bucket FROM banded WHERE doc_id % 2 = 1),
+delta AS (SELECT doc_id, band, bucket FROM banded WHERE doc_id % 2 = 0),
+ok AS (SELECT band, bucket FROM idx
+       GROUP BY band, bucket HAVING count(*) <= {max_bucket})
+SELECT DISTINCT d.doc_id AS new_doc, i.doc_id AS index_doc
+FROM delta d
+JOIN ok USING (band, bucket)
+JOIN idx i ON d.band = i.band AND d.bucket = i.bucket
+WHERE d.doc_id <> i.doc_id
+"""
+    )
+
+
 def hot_minhash_oracle(
     max_bucket: int = 50,
     n_hashes: int = 32,

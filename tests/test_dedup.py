@@ -185,3 +185,37 @@ def test_dedup_keep_first_keeps_exactly_one_per_group(spark):
         .collect()
     )
     assert all(r["n_keep"] == 1 for r in per_group)
+
+
+def test_incremental_lsh_matches_cross_side_only(spark):
+    """Delta docs match their index-side near/exact dups; index↔index and
+    delta↔delta pairs never appear (those belong to the batch dedup);
+    over-cap index buckets yield no candidates but stay visible via the
+    hot-bucket reporter."""
+    df = _toy_docs(spark)
+    index = df.filter("doc_id % 2 = 1")  # 1, 3, 5
+    delta = df.filter("doc_id % 2 = 0")  # 2, 4
+    got = {
+        (r["new_doc"], r["index_doc"])
+        for r in dedup.incremental_lsh_matches(
+            index, delta, n_hashes=32, bands=16
+        ).collect()
+    }
+    # doc 2 (exact dup of 1, near dup of 3) matches both index docs;
+    # doc 4 matches nothing; no pair has two docs from the same side.
+    assert got == {(2, 1), (2, 3)}
+    # over-cap index bucket: 30 clones in the index swallow every band
+    # bucket; a delta clone then gets NO candidates, and the dropped
+    # buckets are exactly the hot ones the reporter names.
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    big_index = spark.createDataFrame(
+        [(i, text) for i in range(1, 61, 2)], "doc_id long, text string"
+    )
+    one_new = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    assert (
+        dedup.incremental_lsh_matches(
+            big_index, one_new, max_bucket=10
+        ).count()
+        == 0
+    )
+    assert dedup.hot_minhash_buckets(big_index, max_bucket=10).count() > 0

@@ -262,3 +262,38 @@ def test_sketch_plans(spark):
     assert "BroadcastHashJoin" in cms
     bloom = _plan(sketch.decontaminate_bloom(spark, SF_SMOKE))
     assert "NestedLoop" not in bloom and "CartesianProduct" not in bloom
+
+
+def test_incremental_lsh_two_scans_no_python_one_join(spark):
+    """dedup.incremental_lsh_matches: each side's banding pipeline
+    evaluates once (2 parquet scans — one per side; a third would mean
+    the bucket cap re-derived the index subtree), the banding is fully
+    native (0 Python stages), and the sides meet in exactly one
+    two-input join (never a self-join)."""
+    from data_quality_analysis_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(
+        dedup.incremental_lsh_matches(
+            d.filter("doc_id % 2 = 1"), d.filter("doc_id % 2 = 0")
+        )
+    )
+    assert plan.count("ArrowEvalPython") == 0
+    assert len(re.findall(r"Scan parquet", plan)) == 2
+    assert len(re.findall(r"\w+Join", plan)) == 1
+    assert plan.count("Window") == 2  # one shingle lead-window per side
+
+
+def test_token_budget_big_side_never_shuffles(spark):
+    """sampling.token_budget_sample: the corpus meets the cut table in a
+    BROADCAST join; the only exchanges are the tiny (lang, bucket)
+    aggregate and the prefix-sum window over it (≤ SAMPLE_BUCKETS rows
+    per lang) — a row-level cumulative window would instead sort each
+    whole language in one partition."""
+    from data_quality_analysis_spark.operators import sampling
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(sampling.token_budget_sample(d, {"en": 5000}, 1500))
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -356,3 +356,64 @@ def test_bloom_decontaminate_matches_exact(spark):
         assert b["n_bloom"] >= b["n_shared"]
         assert b["n_shared"] == e["n_shared"]
         assert b["contaminated"] == e["contaminated"]
+
+
+def test_token_budget_sample_cut_semantics(spark):
+    """Kept token totals land within one bucket of the budget (the
+    crossing bucket is included, so total ≥ min(budget, corpus) and
+    total − last_bucket < budget); raising a budget only ADDS rows
+    (prefix stability); the kept set is partitioning-invariant."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    budgets = {"en": 5000, "es": 2000}
+    out = sampling.token_budget_sample(d, budgets, default_budget=1500)
+    per_lang = {
+        r["lang"]: r
+        for r in out.groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("total"),
+            F.max("bucket").alias("last_bucket"),
+        )
+        .collect()
+    }
+    corpus = {
+        r["lang"]: r["total"]
+        for r in sampling.token_budget_sample(
+            d, {}, default_budget=10**12
+        )
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("total"))
+        .collect()
+    }
+    for lang, row in per_lang.items():
+        budget = budgets.get(lang, 1500)
+        assert row["total"] >= min(budget, corpus[lang])
+        last = (
+            out.filter(
+                (F.col("lang") == lang)
+                & (F.col("bucket") == row["last_bucket"])
+            )
+            .agg(F.sum("n_tokens"))
+            .collect()[0][0]
+        )
+        assert row["total"] - last < budget
+    # prefix stability: doubling one language's budget adds rows, never
+    # removes or swaps any
+    small = {
+        (r["doc_id"])
+        for r in out.filter("lang = 'en'").select("doc_id").collect()
+    }
+    bigger = sampling.token_budget_sample(
+        d, {"en": 10000, "es": 2000}, default_budget=1500
+    )
+    big = {
+        r["doc_id"]
+        for r in bigger.filter("lang = 'en'").select("doc_id").collect()
+    }
+    assert small < big
+    # partitioning invariance
+    repart = sampling.token_budget_sample(
+        d.repartition(13), budgets, default_budget=1500
+    )
+    assert {tuple(r) for r in repart.collect()} == {
+        tuple(r) for r in out.collect()
+    }
