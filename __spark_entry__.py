@@ -25,6 +25,7 @@ from data_quality_analysis_spark.fixtures import (
 )
 from data_quality_analysis_spark.operators import (
     dedup,
+    lines,
     relational,
     sampling,
     similarity,
@@ -109,6 +110,27 @@ def _qf_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _qf_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = run_rules(corpus_view(spark, sf_dir))
     return staged.select("repo", "path", "commit", "keep")
+
+
+def _qf_repo_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file domain-reputation flag from per-repo keep rates. Full
+    oracle (oracles.repo_reputation_oracle). Inline recompute feeds both
+    join sides here; production uses the persisted verdict table — see
+    rules/verdict.repo_reputation."""
+    from data_quality_analysis_spark.rules.verdict import repo_reputation
+
+    staged = run_rules(corpus_view(spark, sf_dir))
+    return repo_reputation(
+        staged.select("repo", "path", "commit", "keep")
+    ).select(
+        "repo",
+        "path",
+        "commit",
+        "keep",
+        "repo_n_files",
+        "repo_keep_rate",
+        "viol_bad_repo",
+    )
 
 
 def _qf_rule_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,6 +452,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pack_bins": text.pack_documents,
     "dedup_incremental": dedup.incremental_minhash,
     "sample_token_budget": sampling.sample_token_budget,
+    "qf_common_lines": lines.common_lines_query,
+    "qf_line_scrub": lines.line_scrub_query,
+    "qf_charset_stats": text.charset_documents,
+    "sample_shuffle_shards": sampling.sample_shuffle_shards,
+    "qf_repo_reputation": _qf_repo_reputation,
     # corpus / quality-filter family
     "qf_corpus": _qf_corpus,
     "qf_stage_a": _qf_stage_a,
@@ -446,11 +473,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qf_boilerplate_topk": dedup.corpus_top_hashes,
     "qf_bucket_metrics": _qf_bucket_metrics,
     # training-data operators
-    "text_token_stats": text.token_stats,
-    "text_quality_score": text.quality_score,
-    "text_ngram_perplexity": _text_ngram_perplexity,
-    "dedup_exact": dedup.exact_duplicates,
-    "dedup_keep_first": dedup.dedup_keep_first,
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
     # relational operator inventory (SURVEY.md §2) — less-plain members
     # stay inside the checked window; the 13 plainest rotate to the tail.
@@ -511,10 +533,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": dedup.dedup_clusters,
     "dedup_ngram_jaccard": dedup.ngram_jaccard,
     # rotated out of the driver's 50-row window this round to make room
-    # for the never-checked queries above — both green in
+    # for the never-checked queries above — all green in
     # CORRECTNESS_r03 and still oracle-parity-pytest-guarded locally
     "text_fingerprint": _text_fingerprint,
     "text_langid": text.langid_documents,
+    "text_token_stats": text.token_stats,
+    "text_quality_score": text.quality_score,
+    "text_ngram_perplexity": _text_ngram_perplexity,
+    "dedup_exact": dedup.exact_duplicates,
+    "dedup_keep_first": dedup.dedup_keep_first,
 }
 
 
@@ -1063,6 +1090,11 @@ def oracle_sql() -> dict[str, str]:
             FROM rows_ r JOIN keep k
               ON r.lang = k.lang AND r.bucket = k.bucket
         """,
+        "qf_common_lines": oracles.common_lines_oracle(),
+        "qf_line_scrub": oracles.line_scrub_oracle(),
+        "qf_charset_stats": oracles.charset_oracle(),
+        "sample_shuffle_shards": oracles.shuffle_shards_oracle(),
+        "qf_repo_reputation": oracles.repo_reputation_oracle(),
         # Count-Min Sketch: the full sketch (4×1024 md5-bucketed
         # counters) and the point queries both re-derive in DuckDB
         "sketch_cms_topk": r"""

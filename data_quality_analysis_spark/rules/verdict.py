@@ -280,3 +280,45 @@ def issues_from_rates(
         ).alias("finding"),
         prevalence.alias("prevalence"),
     )
+
+
+def repo_reputation(
+    df: DataFrame,
+    group_col: str = "repo",
+    min_files: int = 5,
+    min_keep_rate: float = 0.65,
+) -> DataFrame:
+    """Domain-level filtering: aggregate per-repo keep rate, then flag
+    every file from a repo whose rate (round-then-compare, 4dp) falls
+    under ``min_keep_rate`` with ≥ ``min_files`` files — the per-domain
+    reputation cut a web pipeline applies after per-document rules
+    (spam domains, crawler traps, low-quality forges), and the corpus
+    analog of the reference scoping a check's threshold per table
+    (/root/reference/Library/CheckFunctions.R:29-90).
+
+    Shape: one map-side-combinable aggregate whose shuffle carries ONE
+    row per repo, then a broadcast join-back — the corpus side never
+    re-shuffles. ``df`` must already carry ``keep`` (rules/verdict
+    stage). NOTE the input frame feeds both the aggregate and the
+    join-back: hand this operator the PERSISTED verdict table (lineage
+    output, like :func:`rule_rates_from_verdicts`) in production so the
+    rule stages run once; recomputing ``df`` lazily on both sides costs
+    a second evaluation of its subtree.
+    """
+    per = (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("repo_n_files"),
+            F.sum(F.col("keep").cast("long")).alias("_n_keep"),
+        )
+        .withColumn(
+            "repo_keep_rate",
+            F.round(F.col("_n_keep") / F.col("repo_n_files"), 4),
+        )
+        .drop("_n_keep")
+    )
+    return df.join(F.broadcast(per), group_col).withColumn(
+        "viol_bad_repo",
+        (F.col("repo_n_files") >= min_files)
+        & (F.col("repo_keep_rate") < min_keep_rate),
+    )

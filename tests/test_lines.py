@@ -1,0 +1,91 @@
+"""Line-level cross-corpus boilerplate removal (operators/lines.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_quality_analysis_spark.operators import lines
+from tests.conftest import SF_SMOKE
+
+
+def _toy(spark):
+    """5 files: a 3-file license header, a line repeated 5× INSIDE one
+    file but present in only 2 files, and unique lines."""
+    header = "// Copyright Example Corp"
+    rows = [
+        ("r1", "a", header + "\ndef one(): pass"),
+        ("r1", "b", header + "\ndef two(): pass"),
+        ("r2", "c", header + "\ndef three(): pass"),
+        ("r2", "d", "\n".join(["echo retry please"] * 5) + "\nunique tail"),
+        ("r2", "e", "echo retry please\nanother body line here"),
+    ]
+    return spark.createDataFrame(rows, "repo string, path string, content string")
+
+
+def test_common_lines_counts_distinct_files_not_occurrences(spark):
+    got = {
+        r["line"]: r["n_files"]
+        for r in lines.common_lines(_toy(spark), min_files=2, top_k=None).collect()
+    }
+    # the in-file ×5 repetition contributes ONE file; cross-file count is 2
+    assert got == {"// Copyright Example Corp": 3, "echo retry please": 2}
+
+
+def test_common_lines_cap_is_deterministic_most_common_first(spark):
+    capped = lines.common_lines(_toy(spark), min_files=2, top_k=1).collect()
+    assert len(capped) == 1 and capped[0]["line"] == "// Copyright Example Corp"
+
+
+def test_scrub_removes_only_common_lines_preserving_order(spark):
+    df = _toy(spark)
+    hashes = [
+        r["line_hash"]
+        for r in lines.common_lines(df, min_files=2).select("line_hash").collect()
+    ]
+    out = {
+        r["path"]: r
+        for r in lines.scrub_common_lines(df, hashes).collect()
+    }
+    assert out["a"]["clean_content"] == "def one(): pass"
+    assert out["a"]["n_removed"] == 1
+    # every in-file copy of a common line goes; order of the rest intact
+    assert out["d"]["clean_content"] == "unique tail"
+    assert out["d"]["n_removed"] == 5
+    assert out["e"]["clean_content"] == "another body line here"
+    # empty scrub set = identity
+    ident = lines.scrub_common_lines(df, []).collect()
+    assert all(r["clean_content"] == r["content"] for r in ident)
+    assert all(r["n_removed"] == 0 for r in ident)
+
+
+def test_short_lines_never_become_boilerplate(spark):
+    rows = [("r", str(i), "}\nfi\nend\nbody %d" % i) for i in range(6)]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    assert lines.common_lines(df, min_files=2, top_k=None).count() == 0
+
+
+def test_driver_queries_and_partition_invariance(spark):
+    from data_quality_analysis_spark.corpus import corpus_view
+
+    rep = lines.common_lines_query(spark, SF_SMOKE).collect()
+    assert {r["line"] for r in rep} >= {"build log: step retried"}
+    a = sorted(map(tuple, lines.line_scrub_query(spark, SF_SMOKE).collect()))
+    c = corpus_view(spark, SF_SMOKE)
+    hashes = [
+        r["line_hash"]
+        for r in lines.common_lines(c).select("line_hash").collect()
+    ]
+    b = sorted(
+        map(
+            tuple,
+            lines.scrub_common_lines(c.repartition(13), hashes)
+            .select(
+                "repo",
+                "path",
+                F.md5("clean_content").alias("clean_md5"),
+                "n_removed",
+            )
+            .collect(),
+        )
+    )
+    assert a == b

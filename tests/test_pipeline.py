@@ -461,3 +461,36 @@ def test_suggest_bounds_quantiles(spark):
     assert got[("n_chars", 1.0)] == 10.0
     assert got[("n_chars", 0.0)] <= got[("n_chars", 0.5)] <= \
         got[("n_chars", 1.0)]
+
+
+def test_repo_reputation_flags_low_keep_repos(spark):
+    """Files inherit their repo's reputation: a repo under the keep-rate
+    floor (with enough files) flags every file in it, small repos are
+    exempt regardless of rate, and the rate is round-then-compare."""
+    from pyspark.sql import functions as F
+
+    from data_quality_analysis_spark.rules.verdict import repo_reputation
+
+    rows = (
+        [("bad/repo", f"f{i}", i < 2) for i in range(6)]  # keep 2/6 = 0.3333
+        + [("good/repo", f"g{i}", i > 0) for i in range(6)]  # 5/6 = 0.8333
+        + [("tiny/repo", "t0", False)]  # rate 0 but only 1 file
+    )
+    v = spark.createDataFrame(rows, "repo string, path string, keep boolean")
+    out = repo_reputation(v, min_files=5, min_keep_rate=0.65)
+    per = {
+        r["repo"]: (r["bad"], r["rate"])
+        for r in out.groupBy("repo")
+        .agg(
+            F.bool_and("viol_bad_repo").alias("bad"),
+            F.first("repo_keep_rate").alias("rate"),
+        )
+        .collect()
+    }
+    assert per["bad/repo"] == (True, 0.3333)
+    assert per["good/repo"] == (False, 0.8333)
+    assert per["tiny/repo"] == (False, 0.0)
+    # every file of a flagged repo carries the flag
+    assert (
+        out.filter("repo = 'bad/repo' AND NOT viol_bad_repo").count() == 0
+    )

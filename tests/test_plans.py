@@ -297,3 +297,51 @@ def test_token_budget_big_side_never_shuffles(spark):
     assert plan.count("BroadcastHashJoin") == 1
     assert plan.count("Window") == 1
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_line_scrub_is_pure_projection(spark):
+    """lines.scrub_common_lines: the rewrite runs map-side against the
+    broadcast literal hash set — zero Exchange, zero Join, zero Python.
+    Detection (common_lines) shuffles only 32-char hashes and takes the
+    cap via TakeOrdered per-partition heaps, never a global Sort."""
+    from data_quality_analysis_spark.corpus import corpus_view
+    from data_quality_analysis_spark.operators import lines
+
+    c = corpus_view(spark, SF_SMOKE)
+    scrub = _plan(lines.scrub_common_lines(c, ["00" * 16, "11" * 16]))
+    assert "Exchange" not in scrub
+    assert "Join" not in scrub
+    assert "ArrowEvalPython" not in scrub
+    detect = _plan(lines.common_lines(c))
+    assert "TakeOrderedAndProject" in detect
+    assert "Join" not in detect and "Window" not in detect
+
+
+def test_charset_stats_no_shuffle(spark):
+    from data_quality_analysis_spark.operators import text
+
+    plan = _plan(text.charset_documents(spark, SF_SMOKE))
+    assert "Exchange" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shuffle_shards_one_exchange_one_window(spark):
+    from data_quality_analysis_spark.operators import sampling
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(sampling.shuffle_shards(d))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
+def test_repo_reputation_broadcast_joinback(spark):
+    """verdict.repo_reputation: per-repo aggregate meets the file frame
+    in a BROADCAST join; no sort-merge, no Python."""
+    from data_quality_analysis_spark.rules.verdict import repo_reputation
+
+    v = spark.createDataFrame(
+        [("r1", "a", True), ("r1", "b", False), ("r2", "c", True)],
+        "repo string, path string, keep boolean",
+    )
+    plan = _plan(repo_reputation(v))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -417,3 +417,59 @@ def test_token_budget_sample_cut_semantics(spark):
     assert {tuple(r) for r in repart.collect()} == {
         tuple(r) for r in out.collect()
     }
+
+
+def test_charset_stats_planted_flags(spark):
+    """Planted classes fire: %11 rows (not shadowed by %7) carry C0
+    control bytes; %7 and %13 rows carry multibyte UTF-8; untouched rows
+    are byte-clean ASCII."""
+    from data_quality_analysis_spark.operators import text as T
+
+    rows = {r["doc_id"]: r for r in T.charset_documents(spark, SF_SMOKE).collect()}
+    for doc_id, r in rows.items():
+        if doc_id % 7 == 3:
+            assert r["has_nonascii"] and r["n_nonascii"] == 3
+            assert not r["viol_ctrl_chars"]
+        elif doc_id % 11 == 5:
+            assert r["viol_ctrl_chars"] and r["n_ctrl"] == 3
+        elif doc_id % 13 == 8:
+            assert r["has_nonascii"] and r["n_nonascii"] == 2
+        else:
+            assert not r["has_nonascii"] and not r["viol_ctrl_chars"]
+        assert r["n_bytes"] == r["n_chars"] + r["n_nonascii"]
+
+
+def test_shuffle_shards_total_permutation_and_invariance(spark):
+    """(shard, pos) is a bijection onto contiguous per-shard ranks,
+    stable under repartitioning; a different seed yields a different
+    permutation of the same rows."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = sampling.shuffle_shards(d, n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert len({g[0] for g in got}) == len(got)  # every row exactly once
+    per_shard = {}
+    for _, shard, pos in got:
+        per_shard.setdefault(shard, []).append(pos)
+    for positions in per_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    rep = sorted(
+        map(
+            tuple,
+            sampling.shuffle_shards(d.repartition(13), n_shards=8)
+            .select("doc_id", "shard", "pos")
+            .collect(),
+        )
+    )
+    assert rep == got
+    other = sorted(
+        map(
+            tuple,
+            sampling.shuffle_shards(d, n_shards=8, seed="epoch2")
+            .select("doc_id", "shard", "pos")
+            .collect(),
+        )
+    )
+    assert {o[0] for o in other} == {g[0] for g in got}
+    assert other != got
