@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also emit the next cycle's blank report template "
                         "stamped with this data version (the "
                         "generate-templates analog); requires --report-dir")
+    p.add_argument("--line-scrub", type=int, default=None, metavar="MIN_FILES",
+                   help="pre-pass: strip lines appearing in >= MIN_FILES "
+                        "distinct files (cross-corpus boilerplate — license "
+                        "headers, generated banners) before the rule stages; "
+                        "one extra hash-only detection pass, then the "
+                        "rewrite rides map-side into the pipeline scan")
     return p
 
 
@@ -141,6 +147,24 @@ def main(argv: list[str] | None = None) -> int:
     if missing:
         print(f"input missing required columns: {missing}", file=sys.stderr)
         return 2
+    if args.line_scrub is not None:
+        from data_quality_analysis_spark.operators.lines import (
+            common_lines,
+            scrub_common_lines,
+        )
+
+        hashes = [
+            r["line_hash"]
+            for r in common_lines(corpus, min_files=args.line_scrub)
+            .select("line_hash")
+            .collect()
+        ]
+        corpus = (
+            scrub_common_lines(corpus, hashes)
+            .drop("content")
+            .withColumnRenamed("clean_content", "content")
+            .drop("n_removed")
+        )
     report = run_with_lineage(
         spark,
         corpus.select(*REQUIRED_COLS),

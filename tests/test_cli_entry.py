@@ -124,3 +124,33 @@ def test_cli_prev_flags_validation(spark, tmp_path):
               "--report-dir", str(tmp_path / "r"),
               "--prev-issues", "a", "--prev-report", "b"])
     assert r.returncode == 2 and "mutually exclusive" in r.stderr
+
+
+def test_cli_line_scrub_pre_pass(spark, tmp_path):
+    """--line-scrub N strips cross-corpus boilerplate lines before the
+    rule stages: the written verdicts' rule stats reflect the scrubbed
+    content (the planted repeated-'build log' block loses its lines), and
+    the run still resumes cleanly."""
+    corpus_path = str(tmp_path / "corpus.parquet")
+    corpus_view(spark, SF_SMOKE).write.parquet(corpus_path)
+    out_plain = str(tmp_path / "out_plain")
+    out_scrub = str(tmp_path / "out_scrub")
+    r1 = _run(["--input", corpus_path, "--output", out_plain,
+               "--n-buckets", "4"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = _run(["--input", corpus_path, "--output", out_scrub,
+               "--n-buckets", "4", "--line-scrub", "2"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    from data_quality_analysis_spark.lineage import read_verdicts
+
+    plain = read_verdicts(spark, out_plain)
+    scrub = read_verdicts(spark, out_scrub)
+    assert plain.count() == scrub.count()  # scrub rewrites, never drops
+    # the common-line families are planted in >=2 files at every sf, so
+    # the scrubbed run's content hashes differ for those files only
+    joined = plain.selectExpr("path", "content_sha AS a").join(
+        scrub.selectExpr("path", "content_sha AS b"), "path"
+    )
+    changed = joined.filter("a <> b").count()
+    assert changed > 0
+    assert changed < plain.count()
