@@ -637,13 +637,8 @@ def incremental_lsh_matches(
     (new_doc, index_doc) candidate pairs — scalars only, so the final
     ``distinct`` never carries an array through a shuffle.
     """
-    bi = _banded_signatures(index_df, n_hashes, bands, shingle_n)
     bd = _banded_signatures(delta_df, n_hashes, bands, shingle_n)
-    buckets = (
-        bi.groupBy("band", "bucket")
-        .agg(F.collect_list("doc_id").alias("_ids"))
-        .filter(F.size("_ids") <= max_bucket)
-    )
+    buckets = index_buckets(index_df, n_hashes, bands, shingle_n, max_bucket)
     return (
         bd.join(buckets, ["band", "bucket"])
         .select(
@@ -690,4 +685,109 @@ def hot_shingles_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return hot_shingles(planted_clones(spark, sf_dir), max_df=20).orderBy(
         "shingle"
+    )
+
+
+def banded_signatures_rowwise(
+    df: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band, bucket) — bit-identical to :func:`_banded_signatures`
+    but computed entirely WITHIN each row (array higher-order functions:
+    shingle list → per-shingle md5-60-bit hash → per-seed ``array_min``
+    → band bucket md5), so it needs NO shuffle and NO window.
+
+    Trade-off, measured: the interpreted HOF path is ~10× slower per doc
+    than the codegen'd explode+window+aggregate of the batch pipeline
+    (see :func:`shingle_rows`), so batch keeps that plan. But per-row is
+    the only shape Structured Streaming accepts (windows and chained
+    aggregations are unsupported on streams), and a per-micro-batch
+    crawl is tiny next to the corpus — streaming.incremental_dedup_stream
+    banding each arriving doc in place and probing the static index is
+    exactly the right division of labor. Docs with fewer than
+    ``shingle_n`` tokens produce no rows, matching the batch semantics.
+    """
+    toks = F.filter(F.split(_normalized(text_col), " ", -1), lambda x: x != "")
+    n_sh = F.size(toks) - (shingle_n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.array_join(F.slice(toks, i, shingle_n), " "),
+    )
+    hm = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % MINHASH_P,
+    )
+    params = minhash_params(n_hashes)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_hm"),
+                    lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P,
+                )
+            )
+            for (a, b) in params
+        ]
+    )
+    rpb = n_hashes // bands
+    bucket_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("_sig", b * rpb + i + 1)
+                                for i in range(rpb)
+                            ],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        df.filter(n_sh >= 1)
+        .withColumn("_hm", hm)
+        .withColumn("_sig", sig)
+        .select(
+            "doc_id", F.explode(F.array(*bucket_structs)).alias("bb")
+        )
+        .select("doc_id", "bb.band", "bb.bucket")
+    )
+
+
+def index_buckets(
+    index_df: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1_000,
+) -> DataFrame:
+    """The corpus side of incremental dedup as a standalone artifact:
+    one row per surviving (band, bucket) with its member-id list,
+    over-cap buckets size-filtered out (visible via
+    :func:`hot_minhash_buckets`). In production this is materialized
+    once per corpus snapshot and re-read by every incremental batch or
+    stream — the shape :func:`incremental_lsh_matches` joins against and
+    streaming.incremental_dedup_stream probes with a stream-static join.
+    """
+    bi = _banded_signatures(index_df, n_hashes, bands, shingle_n)
+    return (
+        bi.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("_ids"))
+        .filter(F.size("_ids") <= max_bucket)
     )

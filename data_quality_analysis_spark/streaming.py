@@ -461,3 +461,69 @@ def run_session_stream_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+# ------------------------------------------- incremental near-dup probe --
+def incremental_dedup_stream(
+    stream_df: DataFrame,
+    index: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Online near-dup detection: each arriving doc is MinHash-banded
+    IN PLACE (dedup.banded_signatures_rowwise — pure per-row array ops,
+    the only shape streams accept: no window, no aggregation, no state)
+    and probed against the STATIC corpus index (dedup.index_buckets,
+    materialized by the batch layer per corpus snapshot) via a
+    stream-static equi-join on (band, bucket).
+
+    Complements dedup_stream the same way the batch pair does: exact
+    re-ingests are caught by the watermarked sha state; NEAR dups vs the
+    historical corpus are caught here with ZERO streaming state — the
+    index is a plain DataFrame Spark re-broadcasts per micro-batch, and
+    the query itself is stateless (a streaming ``dropDuplicates`` would
+    grow key state without bound, so a pair sharing several bands is
+    emitted up to ``bands`` times and the sink/batch consumer dedups —
+    the same division of labor as dedup_stream's horizon).
+    """
+    from data_quality_analysis_spark.operators.dedup import (
+        banded_signatures_rowwise,
+    )
+
+    banded = banded_signatures_rowwise(
+        stream_df, n_hashes, bands, shingle_n, text_col="content"
+    )
+    return (
+        banded.join(F.broadcast(index), ["band", "bucket"])
+        .select(
+            F.col("doc_id").alias("new_doc"),
+            F.explode("_ids").alias("index_doc"),
+        )
+        .filter(F.col("new_doc") != F.col("index_doc"))
+    )
+
+
+def run_incremental_dedup_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+) -> None:
+    """Incremental crawl-vs-corpus near-dup job: band the unseen input
+    files, probe the materialized bucket index, append candidate pairs.
+    Checkpointed — a rerun only processes newly-arrived files."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    index = spark.read.parquet(index_path)
+    q = (
+        incremental_dedup_stream(src, index)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -219,3 +219,19 @@ def test_incremental_lsh_matches_cross_side_only(spark):
         == 0
     )
     assert dedup.hot_minhash_buckets(big_index, max_bucket=10).count() > 0
+
+
+def test_rowwise_banding_bit_identical_to_batch(spark):
+    """dedup.banded_signatures_rowwise (streaming-safe per-row array
+    ops) reproduces _banded_signatures exactly, including the
+    short-doc drop; its plan has no Exchange and no Window."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = sorted(
+        map(tuple, dedup.banded_signatures_rowwise(d).collect())
+    )
+    b = sorted(
+        map(tuple, dedup._banded_signatures(d, 32, 8, 3).collect())
+    )
+    assert a == b and len(a) > 0
+    plan = dedup.banded_signatures_rowwise(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan

@@ -384,3 +384,61 @@ def test_session_stream_batch_parity_and_merge(spark, tmp_path):
     }
     for key, val in got.items():
         assert batch[key] == val, key
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """Stream-static near-dup probe: streaming the delta docs against
+    the materialized bucket index yields exactly the batch
+    incremental_lsh_matches pairs (after sink-side dedup of multi-band
+    repeats), across two checkpointed invocations."""
+    from data_quality_analysis_spark.operators import dedup
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = str(tmp_path / "delta")
+    idxp = str(tmp_path / "index")
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", F.col("text").alias("content"))
+        .cache()
+    )
+    index_docs = docs.filter("doc_id % 2 = 1").withColumnRenamed(
+        "content", "text"
+    )
+    delta = docs.filter("doc_id % 2 = 0")
+    dedup.index_buckets(index_docs).write.parquet(idxp)
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("content", StringType())]
+    )
+
+    half1 = delta.filter("doc_id % 4 = 0")
+    half1.write.mode("append").parquet(src)
+    streaming.run_incremental_dedup_available_now(
+        spark, src, idxp, out, ckpt, schema
+    )
+    n1 = spark.read.parquet(out).select("new_doc", "index_doc").distinct().count()
+
+    delta.filter("doc_id % 4 = 2").write.mode("append").parquet(src)
+    streaming.run_incremental_dedup_available_now(
+        spark, src, idxp, out, ckpt, schema
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .select("new_doc", "index_doc")
+            .distinct()
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            dedup.incremental_lsh_matches(index_docs, delta.withColumnRenamed("content", "text"))
+            .collect(),
+        )
+    )
+    assert got == want
+    assert 0 < n1 <= len(got)
+    docs.unpersist()
