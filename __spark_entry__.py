@@ -457,6 +457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qf_charset_stats": text.charset_documents,
     "sample_shuffle_shards": sampling.sample_shuffle_shards,
     "qf_repo_reputation": _qf_repo_reputation,
+    "sample_mixture": sampling.sample_mixture,
     # corpus / quality-filter family
     "qf_corpus": _qf_corpus,
     "qf_stage_a": _qf_stage_a,
@@ -471,7 +472,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qf_report_query": _qf_report_query,
     "qf_next_cycle_template": _qf_next_cycle_template,
     "qf_boilerplate_topk": dedup.corpus_top_hashes,
-    "qf_bucket_metrics": _qf_bucket_metrics,
     # training-data operators
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
     # relational operator inventory (SURVEY.md §2) — less-plain members
@@ -542,6 +542,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_ngram_perplexity": _text_ngram_perplexity,
     "dedup_exact": dedup.exact_duplicates,
     "dedup_keep_first": dedup.dedup_keep_first,
+    "qf_bucket_metrics": _qf_bucket_metrics,
 }
 
 
@@ -1095,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_charset_stats": oracles.charset_oracle(),
         "sample_shuffle_shards": oracles.shuffle_shards_oracle(),
         "qf_repo_reputation": oracles.repo_reputation_oracle(),
+        "sample_mixture": oracles.mixture_sample_oracle(),
         # Count-Min Sketch: the full sketch (4×1024 md5-bucketed
         # counters) and the point queries both re-derive in DuckDB
         "sketch_cms_topk": r"""

@@ -283,3 +283,56 @@ def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly in DuckDB."""
     d = load_table(spark, sf_dir, "documents")
     return shuffle_shards(d).select("doc_id", "lang", "shard", "pos")
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.7,
+    key_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Materialize the temperature mixture :func:`mixture_weights`
+    describes: downsample each group to rate ∝ n^(α−1), normalized so
+    the smallest group keeps 100% (α < 1 flattens the head — no group
+    is ever upsampled, which would need replication, a different op).
+
+    Determinism across engines: the float rate is ROUNDED to 6 dp (the
+    precision the weights oracle already pins pow() agreement at), then
+    converted to an integer bucket cut — membership compares integers,
+    so the kept set is bit-stable however the doubles were computed.
+    Scale shape: two tiny aggregates over group counts, a broadcast of
+    the ≤|groups| cut table, and the same shuffle-free salted-bucket
+    filter as :func:`hash_sample` — the corpus is scanned once and
+    never shuffled."""
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    powered = counts.withColumn(
+        "_r", F.pow(F.col("n_docs"), F.lit(alpha - 1.0))
+    )
+    mx = powered.agg(F.max("_r").alias("_m"))
+    cuts = (
+        powered.crossJoin(F.broadcast(mx))
+        .select(
+            group_col,
+            F.round(F.col("_r") / F.col("_m"), 6).alias("rate"),
+        )
+        .withColumn(
+            "cut",
+            F.floor(F.col("rate") * SAMPLE_BUCKETS).cast("long"),
+        )
+    )
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .filter(_bucket(F.col(key_col), seed) < F.col("cut"))
+        .drop("cut")
+    )
+
+
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: α = 0.7 temperature-downsampled documents. Full
+    oracle — counts, pow-rates (6 dp), integer cuts, and the salted
+    bucket filter all re-derive in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_sample(d, "lang").select("doc_id", "lang", "rate")

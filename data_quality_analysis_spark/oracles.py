@@ -1102,3 +1102,28 @@ SELECT v.repo, v.path, v.commit, v.keep,
          AND per.repo_keep_rate < {min_keep_rate} AS viol_bad_repo
 FROM v JOIN per ON v.repo = per.repo
 """
+
+
+# ------------------------------------------------------- mixture sample --
+def mixture_sample_oracle(
+    alpha: float = 0.7, seed: str = "mix", buckets: int = 10_000
+) -> str:
+    """sampling.mixture_sample re-derivation: group counts → 6dp
+    pow-rate normalized to the max → integer bucket cut → salted-md5
+    bucket membership (all-integer compare, like every sampler here)."""
+    return f"""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+r AS (SELECT lang, n_docs,
+             round(pow(n_docs, {alpha - 1.0}) /
+                   (SELECT max(pow(n_docs, {alpha - 1.0})) FROM c), 6)
+               AS rate
+      FROM c),
+k AS (SELECT lang, rate,
+             CAST(floor(rate * {buckets}) AS BIGINT) AS cut FROM r)
+SELECT d.doc_id, d.lang, k.rate
+FROM documents d JOIN k ON d.lang = k.lang
+WHERE ('0x' || substr(md5('{seed}|' ||
+         coalesce(CAST(d.doc_id AS VARCHAR), '<null>')), 1, 15))::BIGINT
+       % {buckets} < k.cut
+"""

@@ -473,3 +473,23 @@ def test_shuffle_shards_total_permutation_and_invariance(spark):
     )
     assert {o[0] for o in other} == {g[0] for g in got}
     assert other != got
+
+
+def test_mixture_sample_flattens_head_keeps_tail(spark):
+    """α<1 downsampling: the smallest group keeps every row (rate 1.0),
+    larger groups keep ~rate·n rows, and the kept set is a subset of
+    the corpus, stable under repartitioning."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = sampling.mixture_sample(d, "lang").cache()
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    rates = {r["lang"]: r["rate"] for r in out.select("lang", "rate").distinct().collect()}
+    smallest = min(totals, key=lambda k: totals[k])
+    assert rates[smallest] == 1.0 and kept[smallest] == totals[smallest]
+    for lang, n in totals.items():
+        assert kept.get(lang, 0) <= n
+        # salted buckets keep ~rate·n; allow generous small-sample slack
+        assert abs(kept.get(lang, 0) - rates[lang] * n) <= max(6, 0.35 * n)
+    rep = sorted(map(tuple, sampling.mixture_sample(d.repartition(13), "lang").collect()))
+    assert rep == sorted(map(tuple, out.collect()))
+    out.unpersist()
