@@ -700,15 +700,21 @@ def banded_signatures_rowwise(
     shingle list → per-shingle md5-60-bit hash → per-seed ``array_min``
     → band bucket md5), so it needs NO shuffle and NO window.
 
-    Trade-off, measured: the interpreted HOF path is ~10× slower per doc
-    than the codegen'd explode+window+aggregate of the batch pipeline
-    (see :func:`shingle_rows`), so batch keeps that plan. But per-row is
-    the only shape Structured Streaming accepts (windows and chained
-    aggregations are unsupported on streams), and a per-micro-batch
-    crawl is tiny next to the corpus — streaming.incremental_dedup_stream
-    banding each arriving doc in place and probing the static index is
-    exactly the right division of labor. Docs with fewer than
-    ``shingle_n`` tokens produce no rows, matching the batch semantics.
+    Trade-off, measured at sf0.1 (5k docs, warm JVM, local[32]):
+    row-wise 1.05-1.38 s vs batch 1.28-1.59 s — the HOF path is
+    actually ~20% FASTER on typical web-document sizes because it skips
+    the shingle window's doc_id exchange entirely. Batch still keeps
+    explode+window+aggregate as its default because the per-row path
+    materializes the WHOLE shingle+hash array in task memory per row —
+    an adversarial 100 MB document becomes a ~20M-element long array
+    ×2 held at once (OOM risk the cap reporters can't see), while the
+    exploded rows spill gracefully and the doc_id exchange is the same
+    partitioning every downstream dedup aggregate reuses. Per-row is
+    also the only shape Structured Streaming accepts (windows and
+    chained aggregations are unsupported on streams), where micro-
+    batches are small and bounded — streaming.incremental_dedup_stream
+    is exactly its home. Docs with fewer than ``shingle_n`` tokens
+    produce no rows, matching the batch semantics.
     """
     toks = F.filter(F.split(_normalized(text_col), " ", -1), lambda x: x != "")
     n_sh = F.size(toks) - (shingle_n - 1)

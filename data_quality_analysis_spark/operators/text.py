@@ -417,3 +417,62 @@ def charset_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     strlen (byte length) and a 'g'-flag regexp_replace."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return charset_stats(spark.sql(CHARSET_SELECT)).drop("content")
+
+
+# ---------------------------------------------------- compression ratio --
+def compression_ratio(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style compressibility signal: zlib-compressed size over
+    raw UTF-8 size per document. Highly repetitive/templated text
+    compresses far below natural prose, so a low ratio is a strong
+    machine-generated-content flag that complements the line-based
+    repetition rules (a 0.1-ratio doc can still have all-distinct
+    lines).
+
+    Arrow-batched ``mapInPandas`` (zlib is CPython stdlib C — the batch
+    loop is per-doc but each call is native code on bytes; no JVM
+    equivalent exists, which also makes this the one text operator with
+    a pure-Python pytest oracle instead of a DuckDB one — deliberately
+    a LIBRARY operator, not a driver query). Level pinned to 6 so the
+    byte counts are reproducible across environments; ratio rounded to
+    6 dp; empty docs get ratio NULL.
+    """
+    import zlib
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("n_compressed", LongType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            n_raw = raw.map(len)
+            n_comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[key_col],
+                    "n_bytes": n_raw.astype("int64"),
+                    "n_compressed": n_comp.astype("int64"),
+                    "ratio": [
+                        round(c / r, 6) if r > 0 else None
+                        for c, r in zip(n_comp, n_raw)
+                    ],
+                }
+            )
+
+    return df.select(key_col, text_col).mapInPandas(run, out_schema)

@@ -493,3 +493,30 @@ def test_mixture_sample_flattens_head_keeps_tail(spark):
     rep = sorted(map(tuple, sampling.mixture_sample(d.repartition(13), "lang").collect()))
     assert rep == sorted(map(tuple, out.collect()))
     out.unpersist()
+
+
+def test_compression_ratio_matches_pure_python(spark):
+    """text.compression_ratio vs a driver-side zlib pass: byte-identical
+    counts; repetitive text scores far below prose; empty → NULL."""
+    import zlib
+
+    base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(10_000_001, "spam " * 400), (10_000_002, "")],
+        "doc_id long, text string",
+    )
+    d = base.select("doc_id", "text").unionByName(extra)
+    got = {r["doc_id"]: r for r in text.compression_ratio(d).collect()}
+    for row in d.collect():
+        raw = (row["text"] or "").encode("utf-8")
+        g = got[row["doc_id"]]
+        assert g["n_bytes"] == len(raw)
+        if raw:
+            comp = len(zlib.compress(raw, 6))
+            assert g["n_compressed"] == comp
+            assert g["ratio"] == round(comp / len(raw), 6)
+        else:
+            assert g["ratio"] is None
+    assert got[10_000_001]["ratio"] < 0.05
+    real = [g["ratio"] for k, g in got.items() if k < 10_000_000 and g["ratio"]]
+    assert min(real) > 0.3  # natural prose never compresses like spam
