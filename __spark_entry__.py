@@ -112,6 +112,20 @@ def _qf_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select("repo", "path", "commit", "keep")
 
 
+def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-quality representative per near-dup cluster (clusters
+    from the Jaccard-pair connected components, scores from the
+    composite quality model). Full oracle: recursive-CTE closure +
+    the shared quality SQL + the same (quality DESC, doc_id) rank."""
+    clusters = dedup.dedup_clusters(spark, sf_dir)
+    scores = text.quality_score(spark, sf_dir).select("doc_id", "quality")
+    return (
+        dedup.keep_best(clusters, scores)
+        .select("doc_id", "cluster_id", "quality", "keep")
+        .orderBy("doc_id")
+    )
+
+
 def _qf_repo_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file domain-reputation flag from per-repo keep rates. Full
     oracle (oracles.repo_reputation_oracle). Inline recompute feeds both
@@ -393,6 +407,37 @@ _EMB_PAIRS_CTE = """planted AS ({planted}),
                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
                        / (a.nrm * b.nrm), 6) >= 0.95)"""
 
+_QUALITY_SQL = r"""
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            m AS (
+              SELECT doc_id,
+                length(t) AS n,
+                length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                length(regexp_replace(t, '[^.,;:!?''"()]', '', 'g')) AS n_punct,
+                len(regexp_extract_all(t, '\b(?:the|a|and|of|to|in)\b'))
+                  AS n_stop,
+                len(list_filter(regexp_split_to_array(t, '\s+'),
+                    x -> x <> '')) AS n_tokens
+              FROM base)
+            SELECT doc_id,
+              round(CASE WHEN n > 0 THEN n_alpha * 1.0 / n ELSE 0.0 END, 4)
+                AS alpha_ratio,
+              round(CASE WHEN n > 0 THEN n_punct * 1.0 / n ELSE 0.0 END, 4)
+                AS punct_ratio,
+              round(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens
+                         ELSE 0.0 END, 4) AS stop_ratio,
+              round(
+                (CASE WHEN n > 0 THEN n_alpha * 1.0 / n ELSE 0.0 END) * 0.5
+                + (CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens
+                        ELSE 0.0 END) * 0.3
+                + (1.0 - CASE WHEN n > 0 THEN n_punct * 1.0 / n
+                              ELSE 0.0 END) * 0.1
+                + (CASE WHEN n >= 50 AND n <= 10000 THEN 1.0 ELSE 0.0 END)
+                  * 0.1, 4) AS quality
+            FROM m
+        """
+
 _JACCARD_SQL = r"""
             WITH norm AS (
               SELECT doc_id,
@@ -458,6 +503,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_shuffle_shards": sampling.sample_shuffle_shards,
     "qf_repo_reputation": _qf_repo_reputation,
     "sample_mixture": sampling.sample_mixture,
+    "dedup_lsh_verified": dedup.lsh_verified,
+    "dedup_keep_best": _dedup_keep_best,
     # corpus / quality-filter family
     "qf_corpus": _qf_corpus,
     "qf_stage_a": _qf_stage_a,
@@ -467,9 +514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qf_rule_rates": _qf_rule_rates,
     "qf_rule_rates_by_lang": _qf_rule_rates_by_lang,
     "qf_scoped_issues": _qf_scoped_issues,
-    "qf_offender_samples": _qf_offender_samples,
     "qf_issue_lifecycle": _qf_issue_lifecycle,
-    "qf_report_query": _qf_report_query,
     "qf_next_cycle_template": _qf_next_cycle_template,
     "qf_boilerplate_topk": dedup.corpus_top_hashes,
     # training-data operators
@@ -543,6 +588,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup.exact_duplicates,
     "dedup_keep_first": dedup.dedup_keep_first,
     "qf_bucket_metrics": _qf_bucket_metrics,
+    "qf_offender_samples": _qf_offender_samples,
+    "qf_report_query": _qf_report_query,
 }
 
 
@@ -853,36 +900,7 @@ def oracle_sql() -> dict[str, str]:
                         AS n_regex_tokens
             FROM documents
         """,
-        "text_quality_score": r"""
-            WITH base AS (
-              SELECT doc_id, coalesce(text, '') AS t FROM documents),
-            m AS (
-              SELECT doc_id,
-                length(t) AS n,
-                length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS n_alpha,
-                length(regexp_replace(t, '[^.,;:!?''"()]', '', 'g')) AS n_punct,
-                len(regexp_extract_all(t, '\b(?:the|a|and|of|to|in)\b'))
-                  AS n_stop,
-                len(list_filter(regexp_split_to_array(t, '\s+'),
-                    x -> x <> '')) AS n_tokens
-              FROM base)
-            SELECT doc_id,
-              round(CASE WHEN n > 0 THEN n_alpha * 1.0 / n ELSE 0.0 END, 4)
-                AS alpha_ratio,
-              round(CASE WHEN n > 0 THEN n_punct * 1.0 / n ELSE 0.0 END, 4)
-                AS punct_ratio,
-              round(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens
-                         ELSE 0.0 END, 4) AS stop_ratio,
-              round(
-                (CASE WHEN n > 0 THEN n_alpha * 1.0 / n ELSE 0.0 END) * 0.5
-                + (CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens
-                        ELSE 0.0 END) * 0.3
-                + (1.0 - CASE WHEN n > 0 THEN n_punct * 1.0 / n
-                              ELSE 0.0 END) * 0.1
-                + (CASE WHEN n >= 50 AND n <= 10000 THEN 1.0 ELSE 0.0 END)
-                  * 0.1, 4) AS quality
-            FROM m
-        """,
+        "text_quality_score": _QUALITY_SQL,
         "text_fingerprint": r"""
             SELECT doc_id,
                    md5(lower(trim(regexp_replace(coalesce(text, ''),
@@ -1097,6 +1115,26 @@ def oracle_sql() -> dict[str, str]:
         "sample_shuffle_shards": oracles.shuffle_shards_oracle(),
         "qf_repo_reputation": oracles.repo_reputation_oracle(),
         "sample_mixture": oracles.mixture_sample_oracle(),
+        "dedup_lsh_verified": oracles.lsh_verified_oracle(),
+        "dedup_keep_best": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION
+              SELECT doc_b AS s, doc_a AS d FROM pairs),
+            reach(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+            clusters AS (
+              SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+              FROM reach GROUP BY s),
+            q AS (SELECT doc_id, quality FROM ({_QUALITY_SQL}))
+            SELECT c.doc_id, c.cluster_id, q.quality,
+              row_number() OVER (PARTITION BY c.cluster_id
+                ORDER BY q.quality DESC, c.doc_id) = 1 AS keep
+            FROM clusters c JOIN q ON c.doc_id = q.doc_id
+        """,
         # Count-Min Sketch: the full sketch (4×1024 md5-bucketed
         # counters) and the point queries both re-derive in DuckDB
         "sketch_cms_topk": r"""

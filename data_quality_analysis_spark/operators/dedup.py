@@ -797,3 +797,93 @@ def index_buckets(
         .agg(F.collect_list("doc_id").alias("_ids"))
         .filter(F.size("_ids") <= max_bucket)
     )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1_000,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """The full LSH-then-verify pipeline: MinHash banding proposes
+    candidates (:func:`lsh_candidate_pairs` — probabilistic, banding
+    false positives included), then EXACT shingle-set Jaccard is
+    computed for only those pairs and the ``threshold`` applied — the
+    production near-dup decision rule (LSH for recall at scale, exact
+    verification for precision).
+
+    Differs from :func:`ngram_jaccard_pairs` in candidate generation:
+    that operator meets docs through a df-capped inverted shingle index
+    (every co-occurring pair), this one only through LSH buckets — at
+    100 TB the verify join touches O(candidates · doc shingles), never
+    the corpus × corpus shingle space, and the candidate set is already
+    bounded by ``max_bucket``. Verification uses the UNCUT distinct
+    shingle sets (no max_df needed — the pair list, not the shingle
+    frequency, bounds the work), so the reported Jaccard is the true
+    one. Candidates sharing zero shingles (pure banding collisions)
+    drop out naturally.
+    """
+    cand = lsh_candidate_pairs(df, n_hashes, bands, shingle_n, max_bucket)
+    sh = shingle_rows(df, n=shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: LSH candidates verified by exact Jaccard ≥ 0.5.
+    Full oracle — banding, candidate expansion, and the exact Jaccard
+    all re-derive in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_verified_pairs(d, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def keep_best(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str = "quality",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware representative selection: within each near-dup
+    cluster keep the highest-scoring member (ties break on the key, so
+    the choice is total and oracle-exact) — the refinement over
+    :func:`dedup_keep_first` a training pipeline actually wants: when a
+    page exists as both a clean original and a boilerplate-wrapped
+    mirror, keep-first picks by id, keep-best picks the clean one.
+
+    ``clusters`` is (key, cluster_id) — only docs that ARE in a cluster
+    (connected_components output); docs with no near-dup are absent and
+    implicitly kept. One broadcast-sized join per cluster member plus a
+    per-cluster window; cluster sizes are bounded by the pair
+    generators' caps, so no window partition can blow up."""
+    j = clusters.join(scores, key_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), key_col
+    )
+    return j.withColumn("keep", F.row_number().over(w) == 1)

@@ -1127,3 +1127,53 @@ WHERE ('0x' || substr(md5('{seed}|' ||
          coalesce(CAST(d.doc_id AS VARCHAR), '<null>')), 1, 15))::BIGINT
        % {buckets} < k.cut
 """
+
+
+# --------------------------------------------------------- LSH + verify --
+def lsh_verified_oracle(
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1_000,
+    threshold: float = 0.5,
+) -> str:
+    """dedup.minhash_verified_pairs: the banding prefix proposes
+    candidate pairs (bucket expansion, size-capped), then exact Jaccard
+    over the UNCUT distinct shingle sets verifies them."""
+    prefix = _minhash_banded_prefix(
+        "SELECT doc_id, text FROM documents", n_hashes, bands, shingle_n
+    )
+    hi = shingle_n - 1
+    return (
+        prefix
+        + rf""",
+bu AS (SELECT band, bucket FROM banded
+       GROUP BY band, bucket
+       HAVING count(*) BETWEEN 2 AND {max_bucket}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN bu USING (band, bucket)
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id),
+dsh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i:i+{hi}], ' ')
+                 FOR i IN generate_series(1, len(toks) - {hi})])) AS shingle
+  FROM norm WHERE len(toks) >= {shingle_n}),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+          FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN dsh ia ON ia.doc_id = c.doc_a
+  JOIN dsh ib ON ib.doc_id = c.doc_b AND ib.shingle = ia.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= {threshold}
+"""
+    )

@@ -235,3 +235,43 @@ def test_rowwise_banding_bit_identical_to_batch(spark):
     assert a == b and len(a) > 0
     plan = dedup.banded_signatures_rowwise(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Window" not in plan
+
+
+def test_minhash_verified_pairs_precision_over_candidates(spark):
+    """LSH-then-verify: the verified set is a subset of the candidate
+    set, every reported Jaccard is the true shingle-set Jaccard (checked
+    per-pair in pure Python), and pure banding collisions are gone."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(d).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_verified_pairs(d, threshold=0.5).collect()
+    }
+    assert set(verified) <= cand and len(verified) > 0
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+
+    def sh(t):
+        toks = [x for x in " ".join((t or "").lower().split()).split(" ") if x]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for (a, b), j in verified.items():
+        A, B = sh(texts[a]), sh(texts[b])
+        assert j == round(len(A & B) / len(A | B), 4)
+        assert j >= 0.5
+
+
+def test_keep_best_picks_highest_quality_per_cluster(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (9, 0.5)],
+        "doc_id long, quality double",
+    )
+    out = {r["doc_id"]: r["keep"] for r in dedup.keep_best(clusters, scores).collect()}
+    # ties break on doc_id: 2 beats 3, 7 beats 9
+    assert out == {1: False, 2: True, 3: False, 7: True, 9: False}
