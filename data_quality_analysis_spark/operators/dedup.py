@@ -826,7 +826,16 @@ def minhash_verified_pairs(
     drop out naturally.
     """
     cand = lsh_candidate_pairs(df, n_hashes, bands, shingle_n, max_bucket)
-    sh = shingle_rows(df, n=shingle_n)
+    # Prune the inverted index to candidate docs BEFORE it shuffles:
+    # at 100 TB the candidate pairs touch a small fraction of the corpus,
+    # and without this semi-join the verify stage would exchange EVERY
+    # doc's shingle rows just to drop most of them at the pair join.
+    in_play = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_rows(df, n=shingle_n).join(in_play, "doc_id", "leftsemi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

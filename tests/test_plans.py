@@ -345,3 +345,14 @@ def test_repo_reputation_broadcast_joinback(spark):
     plan = _plan(repo_reputation(v))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lsh_verified_prunes_index_before_verify(spark):
+    """dedup.minhash_verified_pairs: the corpus inverted index meets a
+    candidate-doc semi-join (LeftSemi) before any verify exchange, so
+    non-candidate docs' shingles never shuffle."""
+    from data_quality_analysis_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(dedup.minhash_verified_pairs(d))
+    assert "LeftSemi" in plan
