@@ -89,3 +89,23 @@ def test_driver_queries_and_partition_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_line_scrub_is_idempotent(spark):
+    """Removing the common lines removes them everywhere, so a second
+    detect+scrub pass over the scrubbed corpus is the identity — no new
+    common lines can appear (removal only ever decreases counts)."""
+    from data_quality_analysis_spark.corpus import corpus_view
+
+    c = corpus_view(spark, SF_SMOKE)
+    h1 = [r["line_hash"] for r in lines.common_lines(c).select("line_hash").collect()]
+    once = (
+        lines.scrub_common_lines(c, h1)
+        .select("repo", "path", F.col("clean_content").alias("content"))
+        .cache()
+    )
+    h2 = [r["line_hash"] for r in lines.common_lines(once).select("line_hash").collect()]
+    assert set(h2).isdisjoint(h1)
+    again = lines.scrub_common_lines(once, h2)
+    assert again.filter("n_removed > 0").count() == 0
+    once.unpersist()
