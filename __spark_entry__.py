@@ -476,12 +476,16 @@ _JACCARD_SQL = r"""
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Dict ORDER is part of the driver contract: the driver's correctness
-    # gate verifies the FIRST 50 entries. Queries that have not yet had a
-    # driver-recorded row (round-4 rotation: mm_* ×3, sim_* ×4, and the
-    # round-3 training ops) lead; long-stable op_* relational rows — green
-    # in every round since round 1 and still covered by the local
-    # oracle-parity pytest (tests/test_oracle_parity.py) — rotate to the
-    # tail. Rotate again next round if anything is still unchecked.
+    # gate verifies the FIRST 50 entries. Every query without a
+    # driver-recorded green row (round-4 rotation: mm_* ×3, sim_* ×4, the
+    # round-3 training ops, and all round-4 additions — incremental/LSH-
+    # verified/keep-best dedup, token-budget/shuffle-shard/mixture
+    # samplers, line scrub, charset QC, repo reputation, sketches,
+    # temporal joins, threshold sweeps) sits in positions 1-50;
+    # long-stable rows — green in earlier rounds and still covered by the
+    # local oracle-parity pytest (tests/test_oracle_parity.py) — rotate
+    # to the tail. Rotate again next round if anything is still
+    # unchecked (tools: the never-green audit in the round notes).
     "mm_media_features": _mm_media_features,
     "mm_frame_sample": _mm_frame_sample,
     "mm_metadata_check": _mm_metadata_check,
