@@ -26,6 +26,7 @@ from data_quality_analysis_spark.fixtures import (
 from data_quality_analysis_spark.operators import (
     dedup,
     lines,
+    multimodal,
     relational,
     sampling,
     similarity,
@@ -489,6 +490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_media_features": _mm_media_features,
     "mm_frame_sample": _mm_frame_sample,
     "mm_metadata_check": _mm_metadata_check,
+    "mm_resize_spec": multimodal.media_resize_spec,
     "sim_brute_topk": _sim_brute,
     "sim_lsh_topk": similarity.lsh_topk,
     "sim_embedding_near_dup": similarity.embedding_near_dup,
@@ -510,7 +512,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lsh_verified": dedup.lsh_verified,
     "dedup_keep_best": _dedup_keep_best,
     # corpus / quality-filter family
-    "qf_corpus": _qf_corpus,
     "qf_stage_a": _qf_stage_a,
     "qf_langid": _qf_langid,
     "qf_scrubbed": _qf_scrubbed,
@@ -594,6 +595,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qf_bucket_metrics": _qf_bucket_metrics,
     "qf_offender_samples": _qf_offender_samples,
     "qf_report_query": _qf_report_query,
+    "qf_corpus": _qf_corpus,
 }
 
 
@@ -1118,6 +1120,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_charset_stats": oracles.charset_oracle(),
         "sample_shuffle_shards": oracles.shuffle_shards_oracle(),
         "qf_repo_reputation": oracles.repo_reputation_oracle(),
+        "mm_resize_spec": oracles.media_resize_oracle(),
         "sample_mixture": oracles.mixture_sample_oracle(),
         "dedup_lsh_verified": oracles.lsh_verified_oracle(),
         "dedup_keep_best": f"""

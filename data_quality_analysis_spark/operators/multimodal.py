@@ -190,3 +190,75 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+# ----------------------------------------------------------------- resize --
+RESIZE_TARGET = 224  # the ubiquitous vision-model input edge
+
+
+def resize_spec(
+    df: DataFrame, target: int = RESIZE_TARGET
+) -> DataFrame:
+    """Resize planning as a native-Column projection — the part of an
+    image/video resize that is pure metadata math and therefore fully
+    oracle-checkable: aspect-preserving shortest-edge-to-``target``
+    scale, output dimensions (floor, min 1), and a skip flag for rows
+    already at/below target or with degenerate dimensions (the planted
+    width-0 rows). The byte-level resample itself is the stubbed codec
+    step (:func:`resize_image`); a real deployment swaps that UDF and
+    keeps this plan — so the Spark-side contract (schema, pruning, what
+    runs JVM-side vs in Arrow batches) is real and tested even though
+    the pixel kernel is not. Audio rows (no dimensions) pass through
+    with NULL spec, mirroring how the reference's per-table checks skip
+    inapplicable fields."""
+    w, h = F.col("width"), F.col("height")
+    valid = w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0)
+    short = F.least(w, h)
+    scale = F.round(F.lit(target) / short, 6)
+    needs = valid & (short > target)
+    out_w = F.when(needs, F.greatest(F.floor(w * scale), F.lit(1)))\
+        .otherwise(F.when(valid, w.cast("long")))
+    out_h = F.when(needs, F.greatest(F.floor(h * scale), F.lit(1)))\
+        .otherwise(F.when(valid, h.cast("long")))
+    return df.select(
+        "media_id",
+        "kind",
+        w.cast("long").alias("width"),
+        h.cast("long").alias("height"),
+        F.when(valid, needs).alias("needs_resize"),
+        F.when(needs, scale).alias("scale"),
+        out_w.alias("out_width"),
+        out_h.alias("out_height"),
+    )
+
+
+def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """STUB — real impl would decode, resample (PIL/libvips), re-encode.
+    Not available in this container; :func:`resize_spec` carries the
+    Spark-side contract."""
+    raise NotImplementedError("image resize requires a codec library")
+
+
+def media_resize_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: resize plan over the synthetic media table. Full
+    oracle — the media metadata is a pure function of media_id, emitted
+    as literals by the shared formula (the media_features pattern), and
+    the dimension math re-derives in SQL. target=96 sits inside the
+    synthetic dimension range (48-143 short edge), so both the resize
+    and the skip branch are exercised (224 would skip every row).
+    NULL "not applicable" markers are coalesced to sentinels (-1 / false
+    / 0.0) for transport: NULL inside boolean/numeric pandas columns
+    stringifies engine-dependently (NaN-in-object vs None), which would
+    fail the value-hash for reasons that have nothing to do with the
+    operator — the library function keeps the NULL semantics."""
+    s = resize_spec(synthetic_media(spark), target=96)
+    return s.select(
+        "media_id",
+        "kind",
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("needs_resize", F.lit(False)).alias("needs_resize"),
+        F.coalesce("scale", F.lit(0.0)).alias("scale"),
+        F.coalesce("out_width", F.lit(-1)).alias("out_width"),
+        F.coalesce("out_height", F.lit(-1)).alias("out_height"),
+    ).orderBy("media_id")

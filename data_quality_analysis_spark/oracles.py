@@ -1177,3 +1177,48 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= {threshold}
 """
     )
+
+
+# --------------------------------------------------------- media resize --
+def media_resize_oracle(n: int = 64, target: int = 96) -> str:
+    """multimodal.resize_spec over synthetic_media: the metadata is a
+    pure function of media_id (the media_features literal-emission
+    pattern — regenerated here by the SAME branch logic so the two
+    cannot drift), and the aspect-preserving shortest-edge math
+    re-derives in SQL on top."""
+    kinds = ["image", "audio", "video"]
+    vals = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        width = 64 + i % 128 if kind != "audio" else None
+        height = 48 + i % 96 if kind != "audio" else None
+        if i % 13 == 7 and kind != "audio":
+            width = 0
+        w = "CAST(NULL AS BIGINT)" if width is None else str(width)
+        h = "CAST(NULL AS BIGINT)" if height is None else str(height)
+        vals.append(f"({i}, '{kind}', {w}, {h})")
+    rows = ",\n  ".join(vals)
+    return f"""
+WITH m(media_id, kind, width, height) AS (VALUES
+  {rows}),
+s AS (
+  SELECT media_id, kind,
+         CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+         width IS NOT NULL AND height IS NOT NULL
+           AND width > 0 AND height > 0 AS valid,
+         least(width, height) AS short
+  FROM m),
+sp AS (
+  SELECT *, round({target} * 1.0 / short, 6) AS sc,
+         valid AND short > {target} AS needs
+  FROM s)
+SELECT media_id, kind,
+       coalesce(width, -1) AS width, coalesce(height, -1) AS height,
+       coalesce(CASE WHEN valid THEN needs END, false) AS needs_resize,
+       coalesce(CASE WHEN needs THEN sc END, 0.0) AS scale,
+       coalesce(CASE WHEN needs THEN greatest(CAST(floor(width * sc) AS BIGINT), 1)
+            WHEN valid THEN width END, -1) AS out_width,
+       coalesce(CASE WHEN needs THEN greatest(CAST(floor(height * sc) AS BIGINT), 1)
+            WHEN valid THEN height END, -1) AS out_height
+FROM sp
+"""

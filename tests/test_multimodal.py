@@ -64,3 +64,27 @@ def test_frame_sample_plan(spark):
     assert set(counts) == set(durations)
     for mid, d in durations.items():
         assert counts[mid] == (d - 1) // 1000 + 1
+
+
+def test_resize_spec_math_and_branches(spark):
+    """Aspect-preserving shortest-edge plan: scaled rows keep aspect
+    within rounding, small/degenerate/audio rows skip with NULL spec."""
+    from data_quality_analysis_spark.operators import multimodal as mm
+
+    rows = {r["media_id"]: r for r in mm.resize_spec(mm.synthetic_media(spark), target=96).collect()}
+    saw = set()
+    for r in rows.values():
+        if r["needs_resize"] is None:
+            saw.add("na")
+            assert r["width"] is None or r["width"] <= 0 or r["height"] <= 0
+            assert r["out_width"] is None and r["scale"] is None
+        elif r["needs_resize"]:
+            saw.add("yes")
+            assert min(r["width"], r["height"]) > 96
+            assert min(r["out_width"], r["out_height"]) in (95, 96)  # floor of 96±rounding
+            assert r["scale"] < 1.0
+        else:
+            saw.add("no")
+            assert min(r["width"], r["height"]) <= 96
+            assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+    assert saw == {"na", "yes", "no"}
