@@ -356,3 +356,15 @@ def test_lsh_verified_prunes_index_before_verify(spark):
     d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     plan = _plan(dedup.minhash_verified_pairs(d))
     assert "LeftSemi" in plan
+
+
+def test_mixture_sample_corpus_never_shuffles(spark):
+    """sampling.mixture_sample: the corpus meets the per-group cut table
+    in a broadcast join and is filtered map-side — the only exchanges
+    belong to the tiny group-count aggregates."""
+    from data_quality_analysis_spark.operators import sampling
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(sampling.mixture_sample(d, "lang"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

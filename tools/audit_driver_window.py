@@ -1,0 +1,50 @@
+"""Audit the driver's 50-query correctness window.
+
+The driver verifies only the FIRST 50 entries of ``queries()`` per round,
+so every query that has never had a green driver row must sit in
+positions 1-50 (and stable rows rotate to the tail). This prints the
+audit that gates each round's reordering:
+
+    python tools/audit_driver_window.py [CORRECTNESS_r*.json ...]
+
+Exit 1 if any never-green query sits outside the window.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main(argv: list[str]) -> int:
+    files = argv or sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    green: set[str] = set()
+    for f in files:
+        for k, v in json.load(open(f)).items():
+            if all(v.get(x) for x in ("rows_match", "schema_match", "hash_match")):
+                green.add(k)
+    src = open("/root/repo/__spark_entry__.py").read()
+    m = re.search(r"QUERIES: dict.*?\n\}", src, re.S)
+    keys = re.findall(r'^\s{4}"([a-z0-9_]+)":', m.group(0), re.M)
+    assert len(keys) == len(set(keys)), "duplicate query keys"
+    missed = [k for k in keys[50:] if k not in green]
+    in_window_unchecked = [k for k in keys[:50] if k not in green]
+    print(f"queries: {len(keys)}  driver-green on record: {len(green & set(keys))}")
+    print(f"in-window awaiting first green row ({len(in_window_unchecked)}):")
+    for k in in_window_unchecked:
+        print(f"  {keys.index(k) + 1:3d}  {k}")
+    if missed:
+        print(f"NEVER-GREEN OUTSIDE WINDOW ({len(missed)}) — reorder QUERIES:")
+        for k in missed:
+            print(f"  {keys.index(k) + 1:3d}  {k}")
+        return 1
+    print("window invariant holds: every never-green query is in positions 1-50")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
