@@ -509,11 +509,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_shuffle_shards": sampling.sample_shuffle_shards,
     "qf_repo_reputation": _qf_repo_reputation,
     "sample_mixture": sampling.sample_mixture,
+    "sample_split_leakage": sampling.sample_split_leakage,
     "dedup_lsh_verified": dedup.lsh_verified,
     "dedup_keep_best": _dedup_keep_best,
     # corpus / quality-filter family
     "qf_stage_a": _qf_stage_a,
-    "qf_langid": _qf_langid,
     "qf_scrubbed": _qf_scrubbed,
     "qf_verdict": _qf_verdict,
     "qf_rule_rates": _qf_rule_rates,
@@ -596,6 +596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qf_offender_samples": _qf_offender_samples,
     "qf_report_query": _qf_report_query,
     "qf_corpus": _qf_corpus,
+    "qf_langid": _qf_langid,
 }
 
 
@@ -1122,6 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_repo_reputation": oracles.repo_reputation_oracle(),
         "mm_resize_spec": oracles.media_resize_oracle(),
         "sample_mixture": oracles.mixture_sample_oracle(),
+        "sample_split_leakage": oracles.split_leakage_oracle(),
         "dedup_lsh_verified": oracles.lsh_verified_oracle(),
         "dedup_keep_best": f"""
             WITH RECURSIVE pairs AS ({_JACCARD_SQL}),

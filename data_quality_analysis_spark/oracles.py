@@ -1222,3 +1222,53 @@ SELECT media_id, kind,
             WHEN valid THEN height END, -1) AS out_height
 FROM sp
 """
+
+
+# -------------------------------------------------------- split leakage --
+def split_leakage_oracle(
+    shingle_n: int = 3, max_df: int = 100, seed: str = "split3"
+) -> str:
+    """sampling.sample_split_leakage: content-hash split + df-capped
+    shingle inverted index + train-semi-join leak counts."""
+    hi = shingle_n - 1
+    return rf"""
+WITH hashed AS (
+  SELECT doc_id, text,
+    md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))))
+      AS content_hash
+  FROM documents),
+sp AS (
+  SELECT doc_id, text,
+    CASE WHEN ('0x' || substr(md5('{seed}|' || content_hash), 1, 15))::BIGINT
+              % 10000 < 8000 THEN 'train'
+         WHEN ('0x' || substr(md5('{seed}|' || content_hash), 1, 15))::BIGINT
+              % 10000 < 9000 THEN 'val'
+         ELSE 'test' END AS split
+  FROM hashed),
+norm AS (
+  SELECT doc_id, split,
+         list_filter(string_split(lower(trim(regexp_replace(
+           coalesce(text, ''), '\s+', ' ', 'g'))), ' '), x -> x <> '') AS toks
+  FROM sp),
+sh0 AS (
+  SELECT doc_id, split,
+         unnest(list_distinct([array_to_string(toks[i:i+{hi}], ' ')
+                 FOR i IN generate_series(1, len(toks) - {hi})])) AS shingle
+  FROM norm WHERE len(toks) >= {shingle_n}),
+dfreq AS (SELECT shingle FROM sh0 GROUP BY shingle
+          HAVING count(*) <= {max_df}),
+sh AS (SELECT s.* FROM sh0 s JOIN dfreq USING (shingle)),
+train AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+leaked AS (
+  SELECT split, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_leaked
+  FROM sh WHERE split <> 'train'
+    AND shingle IN (SELECT shingle FROM train)
+  GROUP BY split),
+totals AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+  FROM sp WHERE split <> 'train' GROUP BY split)
+SELECT t.split, t.n_docs,
+       coalesce(l.n_leaked, 0) AS n_leaked,
+       round(coalesce(l.n_leaked, 0) * 1.0 / t.n_docs, 4) AS leak_rate
+FROM totals t LEFT JOIN leaked l ON t.split = l.split
+"""

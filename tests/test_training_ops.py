@@ -520,3 +520,26 @@ def test_compression_ratio_matches_pure_python(spark):
     assert got[10_000_001]["ratio"] < 0.05
     real = [g["ratio"] for k, g in got.items() if k < 10_000_000 and g["ratio"]]
     assert min(real) > 0.3  # natural prose never compresses like spam
+
+
+def test_split_leakage_detects_and_clears(spark):
+    """The audit is not a constant: eval docs with disjoint vocabulary
+    audit clean, near-dup straddlers audit leaked; a cluster-keyed
+    assignment that pins the family together audits zero."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "train"),
+        (2, "alpha beta gamma delta epsilon eta", "val"),  # near-dup straddle
+        (3, "uno dos tres cuatro cinco seis", "val"),  # disjoint vocab
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    out = {r["split"]: r for r in sampling.split_leakage(d).collect()}
+    assert out["val"]["n_docs"] == 2
+    assert out["val"]["n_leaked"] == 1
+    assert out["val"]["leak_rate"] == 0.5
+    # pin the family into train → audit clears
+    fixed = spark.createDataFrame(
+        [rows[0], (2, rows[1][1], "train"), rows[2]],
+        "doc_id long, text string, split string",
+    )
+    out2 = {r["split"]: r for r in sampling.split_leakage(fixed).collect()}
+    assert out2["val"]["n_leaked"] == 0 and out2["val"]["leak_rate"] == 0.0
