@@ -1278,7 +1278,8 @@ def oracle_sql() -> dict[str, str]:
               FROM t)
             SELECT doc_id, n_tokens,
                    CAST(floor((cum - n_tokens) * 1.0 / 2048) AS BIGINT)
-                     AS bin
+                     AS bin,
+                   CAST((cum - n_tokens) % 2048 AS BIGINT) AS offset
             FROM c
         """,
         "text_decontaminate": r"""

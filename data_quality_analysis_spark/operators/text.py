@@ -223,10 +223,17 @@ def pack_bins(
         off = F.when(F.col("_pid") == pid, F.lit(start)).otherwise(off)
     w = Window.partitionBy("_pid").orderBy("_key")
     cum = off + F.sum("n_tokens").over(w)
+    before = cum - F.col("n_tokens")
+    # offset = where this doc's tokens START inside its bin — the
+    # attention-mask/position metadata a packed-sequence writer needs;
+    # pure arithmetic on the same cumsum, no extra pass. A doc may spill
+    # past its bin's end (docs are not split here — chunk first with
+    # chunk_documents if hard boundaries are required).
     return base.select(
         F.col("_key").alias(key_col),
         "n_tokens",
-        F.floor((cum - F.col("n_tokens")) / budget).alias("bin"),
+        F.floor(before / budget).alias("bin"),
+        (before % budget).cast("long").alias("offset"),
     )
 
 

@@ -543,3 +543,19 @@ def test_split_leakage_detects_and_clears(spark):
     )
     out2 = {r["split"]: r for r in sampling.split_leakage(fixed).collect()}
     assert out2["val"]["n_leaked"] == 0 and out2["val"]["leak_rate"] == 0.0
+
+
+def test_pack_bins_offsets_tile_each_bin(spark):
+    """offset = start position inside the bin: the first doc of every
+    bin starts at its bin boundary remainder, consecutive docs within a
+    bin start where the previous ended, and offset < budget always."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = sorted(
+        map(tuple, text.pack_bins(d, budget=512).select(
+            "doc_id", "n_tokens", "bin", "offset").collect())
+    )
+    before = 0
+    for doc_id, n_tokens, b, off in rows:
+        assert 0 <= off < 512
+        assert b == before // 512 and off == before % 512
+        before += n_tokens
