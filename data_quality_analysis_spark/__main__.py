@@ -149,16 +149,31 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     if args.line_scrub is not None:
         from data_quality_analysis_spark.operators.lines import (
+            TOP_K,
             common_lines,
             scrub_common_lines,
         )
 
+        # fetch cap+1 so a truncated scrub set is LOUD, not silent (the
+        # repo's no-silent-caps rule): lines beyond the TOP_K most
+        # common survive the scrub and the operator says so.
         hashes = [
             r["line_hash"]
-            for r in common_lines(corpus, min_files=args.line_scrub)
+            for r in common_lines(
+                corpus, min_files=args.line_scrub, top_k=TOP_K + 1
+            )
             .select("line_hash")
             .collect()
         ]
+        if len(hashes) > TOP_K:
+            print(
+                f"--line-scrub: more than {TOP_K} lines qualify at "
+                f"min_files={args.line_scrub}; scrubbing only the "
+                f"{TOP_K} most common. Raise min_files, or inspect the "
+                "full set via operators.lines.common_lines(top_k=None).",
+                file=sys.stderr,
+            )
+            hashes = hashes[:TOP_K]
         corpus = (
             scrub_common_lines(corpus, hashes)
             .drop("content")

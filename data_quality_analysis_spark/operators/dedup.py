@@ -639,14 +639,24 @@ def incremental_lsh_matches(
     """
     bd = _banded_signatures(delta_df, n_hashes, bands, shingle_n)
     buckets = index_buckets(index_df, n_hashes, bands, shingle_n, max_bucket)
+    return probe_index(bd, buckets).distinct()
+
+
+def probe_index(banded: DataFrame, index: DataFrame) -> DataFrame:
+    """The candidate-expansion join both incremental variants share:
+    banded delta rows (doc_id, band, bucket) × the bucket index's member
+    lists → (new_doc, index_doc) candidates, self-matches dropped. NOT
+    deduplicated here — a pair sharing k bands appears k times; batch
+    callers add ``.distinct()``, the streaming caller deliberately must
+    not (a streaming dropDuplicates is unbounded state — see
+    streaming.incremental_dedup_stream)."""
     return (
-        bd.join(buckets, ["band", "bucket"])
+        banded.join(index, ["band", "bucket"])
         .select(
             F.col("doc_id").alias("new_doc"),
             F.explode("_ids").alias("index_doc"),
         )
         .filter(F.col("new_doc") != F.col("index_doc"))
-        .distinct()
     )
 
 
@@ -825,7 +835,16 @@ def minhash_verified_pairs(
     one. Candidates sharing zero shingles (pure banding collisions)
     drop out naturally.
     """
-    cand = lsh_candidate_pairs(df, n_hashes, bands, shingle_n, max_bucket)
+    # cand feeds three consumers (in_play twice + the verify join) and
+    # Spark shares no work across join inputs — without pinning, the
+    # whole shingle→signature→banding subtree re-evaluates per consumer
+    # (measured: 13 parquet scans, 0 ReusedExchange). localCheckpoint
+    # materializes the SMALL things only: candidate pairs are two longs
+    # per row, and the pruned shingle rows below are bounded by the
+    # candidate docs — the corpus-sized subtree runs exactly once.
+    cand = lsh_candidate_pairs(
+        df, n_hashes, bands, shingle_n, max_bucket
+    ).localCheckpoint()
     # Prune the inverted index to candidate docs BEFORE it shuffles:
     # at 100 TB the candidate pairs touch a small fraction of the corpus,
     # and without this semi-join the verify stage would exchange EVERY
@@ -835,7 +854,11 @@ def minhash_verified_pairs(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingle_rows(df, n=shingle_n).join(in_play, "doc_id", "leftsemi")
+    sh = (
+        shingle_rows(df, n=shingle_n)
+        .join(in_play, "doc_id", "leftsemi")
+        .localCheckpoint()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

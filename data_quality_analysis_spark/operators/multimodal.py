@@ -216,9 +216,14 @@ def resize_spec(
     short = F.least(w, h)
     scale = F.round(F.lit(target) / short, 6)
     needs = valid & (short > target)
-    out_w = F.when(needs, F.greatest(F.floor(w * scale), F.lit(1)))\
+    # dims from the EXACT ratio dim*target/short, not the 6dp-rounded
+    # scale: floor(dim * round(target/short, 6)) lands the short edge on
+    # target−1 for ~40% of sizes (e.g. 101→floor(95.999995)=95), while
+    # short*target/short is exactly target in IEEE — the rounded scale
+    # column is reporting metadata only.
+    out_w = F.when(needs, F.greatest(F.floor(w * target / short), F.lit(1)))\
         .otherwise(F.when(valid, w.cast("long")))
-    out_h = F.when(needs, F.greatest(F.floor(h * scale), F.lit(1)))\
+    out_h = F.when(needs, F.greatest(F.floor(h * target / short), F.lit(1)))\
         .otherwise(F.when(valid, h.cast("long")))
     return df.select(
         "media_id",

@@ -25,6 +25,13 @@ from data_quality_analysis_spark.session import load_table
 SAMPLE_BUCKETS = 10_000  # rate resolution: 0.01%
 
 
+def _hash60(key_s: Column) -> Column:
+    """Salted md5-60-bit integer: Spark `conv(substr(md5(..),1,15),16,10)`
+    ≡ DuckDB `('0x'||substr(md5(..),1,15))::BIGINT` — the shared oracle
+    trick; the single definition _bucket and shuffle_shards both use."""
+    return F.conv(F.substring(F.md5(key_s), 1, 15), 16, 10).cast("long")
+
+
 def _bucket(key: Column, seed: str) -> Column:
     """Stable bucket in [0, SAMPLE_BUCKETS): md5-60-bit of (seed, key),
     mod buckets. Spark `conv(substr(md5(..),1,15),16,10)` ≡ DuckDB
@@ -38,12 +45,7 @@ def _bucket(key: Column, seed: str) -> Column:
     well-defined bucket in both engines; oracles use
     ``coalesce(CAST(key AS VARCHAR), '<null>')`` to match."""
     key_s = F.coalesce(key.cast("string"), F.lit("<null>"))
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.lit(seed), key_s)), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    return h % SAMPLE_BUCKETS
+    return _hash60(F.concat_ws("|", F.lit(seed), key_s)) % SAMPLE_BUCKETS
 
 
 def hash_sample(
@@ -201,12 +203,9 @@ def token_budget_sample(
     language). Pass 2 re-scans and keeps rows whose (lang, bucket) is in
     the broadcast cut table — the big side never shuffles. The
     tokenizer is the whitespace split shared with text.token_stats."""
-    ntok = F.size(
-        F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+", -1),
-            lambda x: x != "",
-        )
-    ).cast("long")
+    from data_quality_analysis_spark.operators.text import ws_token_count
+
+    ntok = ws_token_count(F.col(text_col)).cast("long")
     b = _bucket(F.col(key_col), seed)
     rows = df.withColumn("bucket", b).withColumn("n_tokens", ntok)
     per_bucket = rows.groupBy(lang_col, "bucket").agg(
@@ -263,11 +262,7 @@ def shuffle_shards(
     key) order key makes rank ties impossible, so the permutation is
     total and the oracle exact."""
     key_s = F.coalesce(F.col(key_col).cast("string"), F.lit("<null>"))
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.lit(seed), key_s)), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = _hash60(F.concat_ws("|", F.lit(seed), key_s))
     out = df.withColumn("_h", h).withColumn(
         "shard", (F.col("_h") % n_shards).cast("long")
     )
@@ -360,13 +355,14 @@ def split_leakage(
     the output is one row per split — counts, not pairs."""
     from data_quality_analysis_spark.operators.dedup import shingle_rows
 
-    sh = shingle_rows(df, n=shingle_n).join(
-        df.select("doc_id", split_col), "doc_id"
-    )
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    sh = sh.join(
+    sh_raw = shingle_rows(df, n=shingle_n)
+    # df-cap from the raw shingle rows — the count doesn't need the
+    # split column, and hanging it off the joined frame would evaluate
+    # the doc_id join a second time (no cross-input work sharing)
+    dfreq = sh_raw.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    sh = sh_raw.join(
         dfreq.filter(F.col("_df") <= max_df).select("shingle"), "shingle"
-    )
+    ).join(df.select("doc_id", split_col), "doc_id")
     train = (
         sh.filter(F.col(split_col) == train_split)
         .select("shingle")

@@ -17,11 +17,25 @@ from data_quality_analysis_spark.session import load_table
 TOKEN_REGEX = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
 
 
+def ws_token_count(col) -> "F.Column":
+    """THE whitespace token count — the one tokenizer every
+    budget/packing/stats operator must share (token_stats,
+    text.pack_bins, sampling.token_budget_sample): a drift between two
+    copies would count budgets with one tokenizer and pack bins with
+    another. Returns the int size; callers cast as their schema needs."""
+    return F.size(
+        F.filter(
+            F.split(F.coalesce(col, F.lit("")), r"\s+", -1),
+            lambda x: x != "",
+        )
+    )
+
+
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens + char count per doc."""
     d = load_table(spark, sf_dir, "documents")
     text = F.coalesce(F.col("text"), F.lit(""))
-    ws_tokens = F.size(F.filter(F.split(text, r"\s+", -1), lambda x: x != ""))
+    ws_tokens = ws_token_count(F.col("text"))
     regex_tokens = F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
     return d.select(
         "doc_id",
@@ -43,7 +57,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(
         F.regexp_extract_all(text, F.lit(r"\b(?:the|a|and|of|to|in)\b"), 0)
     )
-    n_tokens = F.size(F.filter(F.split(text, r"\s+", -1), lambda x: x != ""))
+    n_tokens = ws_token_count(F.col("text"))
     alpha_ratio = F.when(n > 0, n_alpha / n).otherwise(F.lit(0.0))
     punct_ratio = F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
@@ -197,12 +211,7 @@ def pack_bins(
     the classic two-pass distributed prefix sum. A naive
     ``Window.orderBy(key)`` with no partitioning funnels the corpus
     through ONE task; this shape keeps every pass fully parallel."""
-    toks = F.size(
-        F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+", -1),
-            lambda x: x != "",
-        )
-    )
+    toks = ws_token_count(F.col(text_col))
     base = (
         df.select(F.col(key_col).alias("_key"), toks.alias("n_tokens"))
         .repartitionByRange(n_parts, "_key")

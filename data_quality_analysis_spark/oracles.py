@@ -1216,9 +1216,11 @@ SELECT media_id, kind,
        coalesce(width, -1) AS width, coalesce(height, -1) AS height,
        coalesce(CASE WHEN valid THEN needs END, false) AS needs_resize,
        coalesce(CASE WHEN needs THEN sc END, 0.0) AS scale,
-       coalesce(CASE WHEN needs THEN greatest(CAST(floor(width * sc) AS BIGINT), 1)
+       coalesce(CASE WHEN needs THEN
+              greatest(CAST(floor(width * {target} * 1.0 / short) AS BIGINT), 1)
             WHEN valid THEN width END, -1) AS out_width,
-       coalesce(CASE WHEN needs THEN greatest(CAST(floor(height * sc) AS BIGINT), 1)
+       coalesce(CASE WHEN needs THEN
+              greatest(CAST(floor(height * {target} * 1.0 / short) AS BIGINT), 1)
             WHEN valid THEN height END, -1) AS out_height
 FROM sp
 """

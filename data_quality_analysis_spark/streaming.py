@@ -489,19 +489,13 @@ def incremental_dedup_stream(
     """
     from data_quality_analysis_spark.operators.dedup import (
         banded_signatures_rowwise,
+        probe_index,
     )
 
     banded = banded_signatures_rowwise(
         stream_df, n_hashes, bands, shingle_n, text_col="content"
     )
-    return (
-        banded.join(F.broadcast(index), ["band", "bucket"])
-        .select(
-            F.col("doc_id").alias("new_doc"),
-            F.explode("_ids").alias("index_doc"),
-        )
-        .filter(F.col("new_doc") != F.col("index_doc"))
-    )
+    return probe_index(banded, F.broadcast(index))
 
 
 def run_incremental_dedup_available_now(

@@ -81,7 +81,7 @@ def test_resize_spec_math_and_branches(spark):
         elif r["needs_resize"]:
             saw.add("yes")
             assert min(r["width"], r["height"]) > 96
-            assert min(r["out_width"], r["out_height"]) in (95, 96)  # floor of 96±rounding
+            assert min(r["out_width"], r["out_height"]) == 96  # exact-ratio math
             assert r["scale"] < 1.0
         else:
             saw.add("no")

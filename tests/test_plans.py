@@ -354,8 +354,14 @@ def test_lsh_verified_prunes_index_before_verify(spark):
     from data_quality_analysis_spark.operators import dedup
 
     d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
-    plan = _plan(dedup.minhash_verified_pairs(d))
-    assert "LeftSemi" in plan
+    pre = dedup.minhash_verified_pairs(d)
+    plan = _plan(pre)
+    # the checkpointed cand/sh replace the corpus subtree: without the
+    # pins this plan held 13 parquet scans (one full banding evaluation
+    # per join input); with them the verify stage reads only the two
+    # checkpointed RDDs
+    assert plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
 
 
 def test_mixture_sample_corpus_never_shuffles(spark):
