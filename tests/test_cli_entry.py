@@ -154,3 +154,27 @@ def test_cli_line_scrub_pre_pass(spark, tmp_path):
     changed = joined.filter("a <> b").count()
     assert changed > 0
     assert changed < plain.count()
+
+
+def test_cli_line_scrub_warns_when_cap_truncates(spark, tmp_path):
+    """No-silent-caps at the CLI: with more qualifying common lines than
+    TOP_K, the run succeeds but says on stderr that the scrub set was
+    truncated."""
+    from data_quality_analysis_spark.operators.lines import TOP_K
+
+    lines_shared = "\n".join(
+        f"generated boilerplate line number {i:04d}" for i in range(TOP_K + 40)
+    )
+    rows = [
+        ("org/gen", f"f{i}.txt", f"c{i}", "en", lines_shared + f"\nunique {i}")
+        for i in range(3)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    corpus_path = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(corpus_path)
+    r = _run(["--input", corpus_path, "--output", str(tmp_path / "out"),
+              "--n-buckets", "2", "--line-scrub", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert f"more than {TOP_K} lines qualify" in r.stderr
