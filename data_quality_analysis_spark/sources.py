@@ -106,3 +106,57 @@ def write_corpus(df: DataFrame, spec: str, mode: str = "overwrite") -> None:
         w.orc(target)
     else:
         w.parquet(target)
+
+
+def read_json_with_rejects(
+    spark: SparkSession, target: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL ingest with NO silent drops: returns (good, rejects).
+
+    Plain ``read_corpus("json:...")`` runs PERMISSIVE — a corrupt line
+    becomes an all-NULL row and vanishes into the pipeline (the
+    empty-content rule would drop it with the wrong reason), and
+    DROPMALFORMED would erase it entirely. Here malformed lines land in
+    ``_corrupt_record`` and come back as the rejects frame (raw line +
+    reason) for quarantine — the ingest-boundary analog of the hot-
+    bucket reporters. ``good`` rows additionally must carry the two
+    NOT-NULL pipeline keys (repo, path); key-less but parseable rows are
+    rejected as ``missing_key``.
+
+    The split persists the parsed frame first: Spark refuses a filter
+    that references only the internal corrupt-record column on an
+    unpersisted relation (documented Spark behavior), and one
+    materialization is the honest cost of reading each input byte once
+    instead of twice. Scale note: per ingest BATCH (the availableNow
+    unit), not per corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(CORPUS_SCHEMA.fields)
+        + [StructField("_corrupt_record", StringType())]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(target)
+        .persist()
+    )
+    corrupt = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line"),
+        F.lit("malformed_json").alias("reason"),
+    )
+    parsed = raw.filter(F.col("_corrupt_record").isNull())
+    keyless = parsed.filter(
+        F.col("repo").isNull() | F.col("path").isNull()
+    ).select(
+        F.to_json(F.struct(*[f.name for f in CORPUS_SCHEMA.fields])).alias(
+            "raw_line"
+        ),
+        F.lit("missing_key").alias("reason"),
+    )
+    good = parsed.filter(
+        F.col("repo").isNotNull() & F.col("path").isNotNull()
+    ).drop("_corrupt_record")
+    return good, corrupt.unionByName(keyless)

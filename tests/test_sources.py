@@ -61,3 +61,24 @@ def test_table_scheme(spark):
     corpus.createOrReplaceTempView("corpus_tbl")
     got = sources.read_corpus(spark, "table:corpus_tbl")
     assert _rows(got) == _rows(corpus)
+
+
+def test_json_rejects_are_loud_not_silent(spark, tmp_path):
+    """read_json_with_rejects: malformed lines and key-less rows come
+    back as rejects with reasons; good rows are byte-intact; nothing is
+    silently dropped (good + rejects == input lines)."""
+    from data_quality_analysis_spark.sources import read_json_with_rejects
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"repo":"r","path":"a","commit":"c1","lang":"en","content":"hello"}\n'
+        '{"repo":"r","path":"b","commit":"c2","lang":"en","content":"world"}\n'
+        "{this is not json at all\n"
+        '{"repo":null,"path":"c","commit":"c3","lang":"en","content":"orphan"}\n'
+    )
+    good, rejects = read_json_with_rejects(spark, str(p))
+    g = {r["path"]: r["content"] for r in good.collect()}
+    assert g == {"a": "hello", "b": "world"}
+    rej = {(r["reason"]) for r in rejects.collect()}
+    assert rej == {"malformed_json", "missing_key"}
+    assert good.count() + rejects.count() == 4
