@@ -108,6 +108,51 @@ def write_corpus(df: DataFrame, spec: str, mode: str = "overwrite") -> None:
         w.parquet(target)
 
 
+def read_csv_with_rejects(
+    spark: SparkSession, target: str
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of :func:`read_json_with_rejects` — same PERMISSIVE +
+    corrupt-record capture + NOT-NULL key gate, over the byte-faithful
+    _CSV_OPTS reader."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(CORPUS_SCHEMA.fields)
+        + [StructField("_corrupt_record", StringType())]
+    )
+    raw = (
+        spark.read.options(**_CSV_OPTS)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(target)
+        .persist()
+    )
+    return _split_rejects(raw)
+
+
+def _split_rejects(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    from pyspark.sql import functions as F
+
+    corrupt = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line"),
+        F.lit("malformed_record").alias("reason"),
+    )
+    parsed = raw.filter(F.col("_corrupt_record").isNull())
+    keyless = parsed.filter(
+        F.col("repo").isNull() | F.col("path").isNull()
+    ).select(
+        F.to_json(F.struct(*[f.name for f in CORPUS_SCHEMA.fields])).alias(
+            "raw_line"
+        ),
+        F.lit("missing_key").alias("reason"),
+    )
+    good = parsed.filter(
+        F.col("repo").isNotNull() & F.col("path").isNotNull()
+    ).drop("_corrupt_record")
+    return good, corrupt.unionByName(keyless)
+
+
 def read_json_with_rejects(
     spark: SparkSession, target: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -143,20 +188,4 @@ def read_json_with_rejects(
         .json(target)
         .persist()
     )
-    corrupt = raw.filter(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw_line"),
-        F.lit("malformed_json").alias("reason"),
-    )
-    parsed = raw.filter(F.col("_corrupt_record").isNull())
-    keyless = parsed.filter(
-        F.col("repo").isNull() | F.col("path").isNull()
-    ).select(
-        F.to_json(F.struct(*[f.name for f in CORPUS_SCHEMA.fields])).alias(
-            "raw_line"
-        ),
-        F.lit("missing_key").alias("reason"),
-    )
-    good = parsed.filter(
-        F.col("repo").isNotNull() & F.col("path").isNotNull()
-    ).drop("_corrupt_record")
-    return good, corrupt.unionByName(keyless)
+    return _split_rejects(raw)

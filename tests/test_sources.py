@@ -80,5 +80,21 @@ def test_json_rejects_are_loud_not_silent(spark, tmp_path):
     g = {r["path"]: r["content"] for r in good.collect()}
     assert g == {"a": "hello", "b": "world"}
     rej = {(r["reason"]) for r in rejects.collect()}
-    assert rej == {"malformed_json", "missing_key"}
+    assert rej == {"malformed_record", "missing_key"}
     assert good.count() + rejects.count() == 4
+
+
+def test_csv_rejects_are_loud_not_silent(spark, tmp_path):
+    from data_quality_analysis_spark.sources import read_csv_with_rejects
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "repo,path,commit,lang,content\n"
+        'r,a,c1,en,hello\n'
+        'r,b,c2,en,"multi\nline"\n'
+        ',c,c3,en,orphan\n'
+    )
+    good, rejects = read_csv_with_rejects(spark, str(p))
+    g = {r["path"]: r["content"] for r in good.collect()}
+    assert g == {"a": "hello", "b": "multi\nline"}
+    assert {r["reason"] for r in rejects.collect()} == {"missing_key"}
