@@ -57,3 +57,20 @@ def test_queries_and_oracles_are_consistent_sets(spark):
     # every query is oracle-checked as of round 3 (mm_media_features via
     # shared-formula literals; all hash internals via md5/integer schemes)
     assert rows_only == set()
+
+
+def test_driver_window_rotation_invariant(spark):
+    """The driver verifies only the FIRST 50 queries() entries per round,
+    so every query without a recorded green driver row must sit inside
+    that window (tools/audit_driver_window.py, runnable standalone)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/audit_driver_window.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=60,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
