@@ -487,6 +487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # local oracle-parity pytest (tests/test_oracle_parity.py) — rotate
     # to the tail. Rotate again next round if anything is still
     # unchecked (tools: the never-green audit in the round notes).
+    "mm_decode_resize": multimodal.media_decode_resize,
     "mm_media_features": _mm_media_features,
     "mm_frame_sample": _mm_frame_sample,
     "mm_metadata_check": _mm_metadata_check,
@@ -1122,6 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_shuffle_shards": oracles.shuffle_shards_oracle(),
         "qf_repo_reputation": oracles.repo_reputation_oracle(),
         "mm_resize_spec": oracles.media_resize_oracle(),
+        "mm_decode_resize": oracles.media_decode_resize_oracle(),
         "sample_mixture": oracles.mixture_sample_oracle(),
         "sample_split_leakage": oracles.split_leakage_oracle(),
         "dedup_lsh_verified": oracles.lsh_verified_oracle(),

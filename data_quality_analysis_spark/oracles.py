@@ -1226,6 +1226,131 @@ FROM sp
 """
 
 
+# -------------------------------------------------- media decode+resize --
+def _oracle_bmp_encode(px: list, w: int, h: int) -> bytes:
+    """Independent loop-based 24-bit BMP encoder (no numpy, no shared
+    code with multimodal.encode_bmp): bottom-up rows, BGR, 4-byte row
+    padding, the exact header field values the product encoder writes.
+    ``px[y][x] = (r, g, b)``."""
+    stride = (w * 3 + 3) & ~3
+    out = bytearray(b"BM")
+    out += (54 + stride * h).to_bytes(4, "little")
+    out += (0).to_bytes(4, "little")  # reserved
+    out += (54).to_bytes(4, "little")  # pixel offset
+    out += (40).to_bytes(4, "little")  # BITMAPINFOHEADER size
+    out += w.to_bytes(4, "little", signed=True)
+    out += h.to_bytes(4, "little", signed=True)
+    out += (1).to_bytes(2, "little")  # planes
+    out += (24).to_bytes(2, "little")  # bpp
+    out += (0).to_bytes(4, "little")  # BI_RGB
+    out += (stride * h).to_bytes(4, "little")
+    out += (2835).to_bytes(4, "little", signed=True)
+    out += (2835).to_bytes(4, "little", signed=True)
+    out += (0).to_bytes(8, "little")  # palette counts
+    for y in range(h - 1, -1, -1):
+        for x in range(w):
+            r, g, b = px[y][x]
+            out += bytes((b, g, r))
+        out += b"\x00" * (stride - w * 3)
+    return bytes(out)
+
+
+def _oracle_resample(px: list, w: int, h: int, ow: int, oh: int, method: str) -> list:
+    """Independent loop-based integer resample kernels — same math spec
+    as multimodal's numpy kernels (center-aligned nearest; 8.8 fixed-point
+    bilinear) but a disjoint implementation, so a vectorization bug in
+    either side breaks the sha compare."""
+    if method == "nearest":
+        return [
+            [
+                px[(2 * oy + 1) * h // (2 * oh)][(2 * ox + 1) * w // (2 * ow)]
+                for ox in range(ow)
+            ]
+            for oy in range(oh)
+        ]
+
+    def axis(n_out: int, n_in: int, j: int) -> tuple[int, int, int]:
+        pos = ((2 * j + 1) * n_in * 256) // (2 * n_out) - 128
+        pos = min(max(pos, 0), (n_in - 1) * 256)
+        lo, frac = pos >> 8, pos & 255
+        return lo, min(lo + 1, n_in - 1), frac
+
+    out = []
+    for oy in range(oh):
+        y0, y1, fy = axis(oh, h, oy)
+        row = []
+        for ox in range(ow):
+            x0, x1, fx = axis(ow, w, ox)
+            pix = []
+            for c in range(3):
+                acc = (
+                    px[y0][x0][c] * (256 - fy) * (256 - fx)
+                    + px[y0][x1][c] * (256 - fy) * fx
+                    + px[y1][x0][c] * fy * (256 - fx)
+                    + px[y1][x1][c] * fy * fx
+                )
+                pix.append((acc + 32768) >> 16)
+            row.append(tuple(pix))
+        out.append(row)
+    return out
+
+
+def media_decode_resize_oracle(n: int = 48, target: int = 12) -> str:
+    """mm_decode_resize oracle: regenerate every synthetic BMP from the
+    shared input formulas (multimodal.bmp_dims / bmp_pixel — the
+    payload_bytes pattern), then decode→plan→resample→re-encode entirely
+    in loop-based pure Python (:func:`_oracle_bmp_encode`,
+    :func:`_oracle_resample`) and emit the expected per-(media_id,
+    method) output sha256 as literals. Pass-through rows hash the
+    ORIGINAL payload bytes — the north rule's content-sha256 equality
+    invariant for rows the pipeline does not transform."""
+    import hashlib
+
+    from data_quality_analysis_spark.operators.multimodal import bmp_dims, bmp_pixel
+
+    vals = []
+    for i in range(n):
+        w, h = bmp_dims(i)
+        px = [[bmp_pixel(i, x, y) for x in range(w)] for y in range(h)]
+        original = _oracle_bmp_encode(px, w, h)
+        short = min(w, h)
+        needs = short > target
+        if needs:
+            ow = max(w * target // short, 1)
+            oh = max(h * target // short, 1)
+        else:
+            ow, oh = w, h
+        for method in ("nearest", "bilinear"):
+            if needs:
+                res = _oracle_resample(px, w, h, ow, oh, method)
+                payload = _oracle_bmp_encode(res, ow, oh)
+                resized = "yes"
+            else:
+                payload = original
+                resized = "passthrough"
+            vals.append(
+                "(CAST({i} AS BIGINT), '{m}', CAST({w} AS BIGINT), "
+                "CAST({h} AS BIGINT), CAST({ow} AS BIGINT), CAST({oh} AS BIGINT), "
+                "'{rz}', '{sha}')".format(
+                    i=i,
+                    m=method,
+                    w=w,
+                    h=h,
+                    ow=ow,
+                    oh=oh,
+                    rz=resized,
+                    sha=hashlib.sha256(payload).hexdigest(),
+                )
+            )
+    rows = ",\n  ".join(vals)
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + rows
+        + ") t(media_id, method, in_width, in_height, out_width, out_height,"
+        " resized, out_sha)\nORDER BY media_id, method"
+    )
+
+
 # -------------------------------------------------------- split leakage --
 def split_leakage_oracle(
     shingle_n: int = 3, max_df: int = 100, seed: str = "split3"

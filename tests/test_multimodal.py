@@ -88,3 +88,84 @@ def test_resize_spec_math_and_branches(spark):
             assert min(r["width"], r["height"]) <= 96
             assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
     assert saw == {"na", "yes", "no"}
+
+
+# ------------------------------------------------------- real BMP codec --
+def test_bmp_encode_decode_roundtrip():
+    """decode(encode(arr)) == arr for odd widths (stride padding) and
+    1-pixel edges."""
+    import numpy as np
+    from data_quality_analysis_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (3, 2), (5, 7), (32, 1), (17, 23)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (mm.decode_image(mm.encode_bmp(arr)) == arr).all()
+
+
+def test_bmp_decode_top_down_and_errors():
+    import numpy as np
+    import pytest
+    from data_quality_analysis_spark.operators import multimodal as mm
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = bytearray(mm.encode_bmp(arr))
+    # flip height sign → top-down: rows arrive in reverse of bottom-up
+    import struct
+    h = struct.unpack_from("<i", payload, 22)[0]
+    struct.pack_into("<i", payload, 22, -h)
+    flipped = mm.decode_image(bytes(payload))
+    assert (flipped == arr[::-1]).all()
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)  # PNG magic
+    with pytest.raises(ValueError):
+        mm.decode_image(mm.encode_bmp(arr)[:-4])  # truncated pixels
+
+
+def test_resample_kernels_exact():
+    """Nearest picks center-aligned sources; bilinear is integer-exact
+    (identity at same size, exact midpoints at 2x down)."""
+    import numpy as np
+    from data_quality_analysis_spark.operators import multimodal as mm
+
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    assert (mm.resample_nearest(arr, 4, 4) == arr).all()
+    assert (mm.resample_bilinear(arr, 4, 4) == arr).all()
+    # 4→2 nearest: src index (2i+1)*4//4 = 1, 3
+    near = mm.resample_nearest(arr, 2, 2)
+    assert (near == arr[[1, 3]][:, [1, 3]]).all()
+    # 4→2 bilinear at exact half-pixel centers: mean of the 2x2 block
+    bil = mm.resample_bilinear(arr, 2, 2)
+    blocks = arr.reshape(2, 2, 2, 2, 3).swapaxes(1, 2).reshape(2, 2, 4, 3)
+    expect = ((blocks.astype(np.int64).sum(axis=2) + 2) // 4).astype(np.uint8)
+    assert (bil == expect).all()
+
+
+def test_resize_image_passthrough_and_strict_decode(spark):
+    """Full strict-mode path over REAL decodable media: features come
+    from decoded pixels, and decode_resize pass-through rows keep the
+    payload sha256 byte-identical (the north-rule invariant)."""
+    import hashlib
+    from data_quality_analysis_spark.operators import multimodal as mm
+
+    media = mm.synthetic_bmp_media(spark, n=16)
+    feats = mm.extract_features(media, strict=True).collect()
+    assert len(feats) == 16
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= f <= 1.0 for f in r["feature"])
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = {
+        (r["media_id"], r["method"]): r
+        for r in mm.decode_resize(media, target=12).collect()
+    }
+    for (mid, _method), r in out.items():
+        if r["resized"] == "passthrough":
+            assert r["out_sha"] == hashlib.sha256(raw[mid]).hexdigest()
+            assert (r["out_width"], r["out_height"]) == (
+                r["in_width"],
+                r["in_height"],
+            )
+        else:
+            assert min(r["out_width"], r["out_height"]) == 12
+            assert r["out_sha"] != hashlib.sha256(raw[mid]).hexdigest()
