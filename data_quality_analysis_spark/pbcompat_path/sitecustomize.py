@@ -1,0 +1,12 @@
+"""Auto-imported by `site` in any Python process whose PYTHONPATH includes
+this directory (session.get_spark / tools/pbcompat_python.sh add it when
+the container lacks google.protobuf): installs the vendored-protobuf
+fallback BEFORE pyspark's StateMessage_pb2 import runs in Spark Python
+workers. Must never raise — a broken sitecustomize would kill every
+worker."""
+try:
+    from data_quality_analysis_spark import protobuf_compat
+
+    protobuf_compat.install()
+except Exception:
+    pass

@@ -1,0 +1,120 @@
+"""Best-effort ``google.protobuf`` fallback for the transformWithState runner.
+
+``transformWithStateInPandas`` is the one PySpark API whose Python worker
+speaks protobuf to the JVM (pyspark/sql/streaming/stateful_processor_api_client
+imports the generated ``StateMessage_pb2``). This container's site-packages
+ships no ``google.protobuf`` at all, and nothing may be pip-installed — but a
+pure-Python protobuf runtime (Apache-licensed, public) is already on disk
+inside the preinstalled Google Cloud SDK under its well-known
+``lib/third_party`` vendor tree. :func:`install` makes that runtime importable
+and registers a no-op ``google.protobuf.runtime_version`` module —
+``runtime_version`` appeared in protobuf 5.27 and its only job is
+gencode-vs-runtime version *validation*; the vendored 4.23 runtime predates it
+but implements everything the generated code actually calls (descriptor_pool,
+symbol_database, internal.builder).
+
+On a properly provisioned cluster ``google.protobuf`` imports natively and
+:func:`install` is a no-op returning True without touching ``sys.path``.
+
+Worker processes: ``site`` imports ``sitecustomize`` at interpreter startup
+from any PYTHONPATH directory, so :data:`SITECUSTOMIZE_DIR` (which holds a
+``sitecustomize.py`` that calls :func:`install`) plus the two vendor roots are
+what :func:`worker_pythonpath` returns; session.get_spark exports them via the
+``PYTHONPATH`` env var / ``spark.executorEnv.PYTHONPATH`` before the JVM
+spawns, so every Spark Python worker self-installs the fallback before
+pyspark's pb2 import runs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+GCLOUD_THIRD_PARTY = "/usr/lib/google-cloud-sdk/lib/third_party"
+_VENDOR_ROOTS = (GCLOUD_THIRD_PARTY, os.path.join(GCLOUD_THIRD_PARTY, "cloudsdk"))
+SITECUSTOMIZE_DIR = os.path.join(os.path.dirname(__file__), "pbcompat_path")
+
+# True once install() has wired the vendor tree or the runtime_version shim
+# in THIS process — worker_pythonpath must keep exporting the fallback to
+# workers in that case, even though google.protobuf now imports locally.
+_fallback_active = False
+
+
+def _base_importable() -> bool:
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _shim_runtime_version() -> None:
+    """Register a no-op ``google.protobuf.runtime_version`` if the runtime
+    lacks one. The generated pb2 only calls
+    ``ValidateProtobufRuntimeVersion(Domain.PUBLIC, major, minor, patch,
+    suffix)`` — pure validation, no behavior."""
+    global _fallback_active
+    try:
+        import google.protobuf.runtime_version  # noqa: F401
+
+        return
+    except Exception:
+        pass
+    _fallback_active = True
+    mod = types.ModuleType("google.protobuf.runtime_version")
+
+    class Domain:  # mirrors protobuf 5.x's enum surface
+        GOOGLE_INTERNAL = 1
+        PUBLIC = 2
+
+    mod.Domain = Domain
+    mod.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+    sys.modules["google.protobuf.runtime_version"] = mod
+    import google.protobuf as pb
+
+    pb.runtime_version = mod
+
+
+def install() -> bool:
+    """Make ``google.protobuf`` importable, via the vendored runtime if the
+    real one is absent. Idempotent; never raises. Returns True if protobuf
+    is usable afterwards."""
+    global _fallback_active
+    try:
+        if not _base_importable():
+            vendored = os.path.join(_VENDOR_ROOTS[1], "google", "protobuf")
+            if not os.path.isdir(vendored):
+                return False
+            for p in _VENDOR_ROOTS:
+                if p not in sys.path:
+                    # append, never prepend: the vendor tree must not
+                    # shadow anything the environment already provides
+                    sys.path.append(p)
+            if not _base_importable():
+                return False
+            _fallback_active = True
+        _shim_runtime_version()
+        return True
+    except Exception:
+        return False
+
+
+def worker_pythonpath() -> str | None:
+    """PYTHONPATH fragment that lets Spark Python workers self-install the
+    fallback (sitecustomize dir + vendor roots), or None when the
+    environment's own protobuf works (workers need nothing)."""
+    if not _fallback_active:
+        # only trust a protobuf THIS process didn't fabricate: if install()
+        # already wired the fallback here, workers need it exported too
+        try:
+            from google.protobuf import descriptor, runtime_version  # noqa: F401
+
+            return None  # native runtime is complete
+        except Exception:
+            pass
+    if not os.path.isdir(os.path.join(_VENDOR_ROOTS[1], "google", "protobuf")):
+        return None  # nothing to offer
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.pathsep.join([SITECUSTOMIZE_DIR, repo_root, *_VENDOR_ROOTS])

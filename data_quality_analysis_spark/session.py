@@ -31,6 +31,40 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+    # transformWithState's Python workers need google.protobuf; when the
+    # environment lacks it but the vendored fallback exists, export the
+    # sitecustomize hook on PYTHONPATH BEFORE the JVM spawns so every
+    # Python worker self-installs it (see protobuf_compat module docs).
+    # No-op on properly provisioned clusters.
+    from data_quality_analysis_spark import protobuf_compat
+
+    _pb_path = protobuf_compat.worker_pythonpath()
+    if _pb_path:
+        protobuf_compat.install()
+        existing = os.environ.get("PYTHONPATH", "")
+        if protobuf_compat.SITECUSTOMIZE_DIR not in existing:
+            os.environ["PYTHONPATH"] = (
+                _pb_path + (os.pathsep + existing if existing else "")
+            )
+        # transformWithState's pre-init launcher builds its own worker
+        # PYTHONPATH, ignoring both the env var and executorEnv — the
+        # interpreter wrapper is the one hook every worker launch path
+        # honors (tools/pbcompat_python.sh prepends the same fragment
+        # and execs the real python).
+        import sys as _sys
+
+        _wrapper = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "pbcompat_python.sh",
+        )
+        if os.path.isfile(_wrapper) and os.environ.get("PYSPARK_PYTHON") != _wrapper:
+            # stash whatever interpreter was configured (the container
+            # defaults PYSPARK_PYTHON=python) so the wrapper execs it
+            os.environ["PBCOMPAT_REAL_PYTHON"] = os.environ.get(
+                "PYSPARK_PYTHON", _sys.executable
+            )
+            os.environ["PYSPARK_PYTHON"] = _wrapper
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -91,6 +125,9 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if _pb_path:
+        # local mode reads the env var; real executors read executorEnv
+        builder = builder.config("spark.executorEnv.PYTHONPATH", _pb_path)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

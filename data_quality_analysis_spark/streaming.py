@@ -318,10 +318,11 @@ def lang_keep_totals_stream(verdicts: DataFrame) -> DataFrame:
     ``spark.sql.streaming.stateStore.providerClass`` =
     RocksDBStateStoreProvider (transformWithState only runs on RocksDB)
     AND a working ``google.protobuf`` (the TWS Python runner speaks
-    protobuf to the JVM; this container ships a broken protobuf, so the
-    accumulation test auto-skips there — the same honest-gating pattern
-    as multimodal.decode_image).
-    """
+    protobuf to the JVM). This container ships no protobuf in
+    site-packages; session.get_spark wires the vendored pure-Python
+    fallback into every worker launch path (see protobuf_compat), so the
+    accumulation test runs for real here and only skips on hosts where
+    neither a native nor the vendored runtime exists."""
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 

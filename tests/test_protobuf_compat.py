@@ -1,0 +1,37 @@
+"""protobuf_compat: the vendored-runtime fallback that unblocks
+transformWithState in containers without google.protobuf."""
+
+from __future__ import annotations
+
+from data_quality_analysis_spark import protobuf_compat
+
+
+def test_install_idempotent_and_usable():
+    assert protobuf_compat.install()
+    assert protobuf_compat.install()  # second call is a no-op
+    from google.protobuf import descriptor  # noqa: F401
+    import google.protobuf.runtime_version as rv
+
+    rv.ValidateProtobufRuntimeVersion(rv.Domain.PUBLIC, 5, 28, 3, "")
+
+
+def test_worker_pythonpath_exports_fallback_once_active():
+    """Once install() wired the fallback in this process, workers must
+    still receive the fragment — a locally-importable protobuf that we
+    fabricated is NOT evidence the workers have one (the round-5 bug:
+    the skip-gate's install() ran first and made get_spark skip the
+    worker export)."""
+    protobuf_compat.install()
+    if protobuf_compat._fallback_active:
+        frag = protobuf_compat.worker_pythonpath()
+        assert frag and protobuf_compat.SITECUSTOMIZE_DIR in frag
+    else:  # host with a real protobuf: nothing to export
+        assert protobuf_compat.worker_pythonpath() is None
+
+
+def test_pb2_roundtrip_after_install():
+    protobuf_compat.install()
+    from pyspark.sql.streaming.proto import StateMessage_pb2 as sm
+
+    msg = sm.StateRequest(version=2)
+    assert sm.StateRequest.FromString(msg.SerializeToString()).version == 2

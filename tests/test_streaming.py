@@ -161,19 +161,19 @@ def test_windowed_counts_watermark_late_data(spark, tmp_path):
 
 
 def _protobuf_ok() -> bool:
-    """transformWithState's Python runner needs a working protobuf; this
-    container ships a broken one (ImportError on google.protobuf
-    .descriptor) and nothing may be pip-installed, so the TWS test
-    auto-skips — same honest gating as the multimodal decode stub."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    """transformWithState's Python runner needs a working protobuf. The
+    container ships none in site-packages and nothing may be
+    pip-installed, but protobuf_compat.install() can wire up the
+    pure-Python runtime vendored inside the preinstalled gcloud SDK (and
+    session.get_spark exports the same fallback to Spark's Python workers
+    via sitecustomize-on-PYTHONPATH). Skip only when neither a native nor
+    the fallback runtime exists."""
+    from data_quality_analysis_spark import protobuf_compat
 
-        return True
-    except Exception:
-        return False
+    return protobuf_compat.install()
 
 
-@pytest.mark.skipif(not _protobuf_ok(), reason="google.protobuf broken in container (TWS runner requires it)")
+@pytest.mark.skipif(not _protobuf_ok(), reason="no usable google.protobuf (native or vendored fallback) — TWS runner requires it")
 def test_transform_with_state_lang_totals_accumulates(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 API, RocksDB state store):
     per-lang totals accumulate across two availableNow invocations and

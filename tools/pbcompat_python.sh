@@ -1,0 +1,23 @@
+#!/bin/sh
+# Worker-interpreter wrapper for the google.protobuf fallback (see
+# data_quality_analysis_spark/protobuf_compat.py). session.get_spark sets
+# PYSPARK_PYTHON to this script only when the environment lacks a native
+# protobuf: Spark's transformWithState pre-init launcher builds its own
+# worker PYTHONPATH and drops spark.executorEnv.PYTHONPATH (unlike every
+# other worker launch path), so env-var injection alone never reaches it —
+# wrapping the interpreter is the one hook every launch path honors.
+# Prepends the sitecustomize hook dir + vendored-protobuf roots, then
+# execs the real interpreter (PBCOMPAT_REAL_PYTHON, default python3).
+HERE="$(cd "$(dirname "$0")/.." && pwd)"
+COMPAT="$HERE/data_quality_analysis_spark/pbcompat_path:$HERE"
+GCLOUD="/usr/lib/google-cloud-sdk/lib/third_party"
+if [ -d "$GCLOUD/cloudsdk/google/protobuf" ]; then
+  COMPAT="$COMPAT:$GCLOUD:$GCLOUD/cloudsdk"
+fi
+if [ -n "$PYTHONPATH" ]; then
+  PYTHONPATH="$COMPAT:$PYTHONPATH"
+else
+  PYTHONPATH="$COMPAT"
+fi
+export PYTHONPATH
+exec "${PBCOMPAT_REAL_PYTHON:-python3}" "$@"
