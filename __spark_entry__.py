@@ -1385,78 +1385,12 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rank <= 5
         """,
-        # IVF: seeds are md5-hash-ordered rows (similarity._seed_query),
-        # so the coarse quantizer, cell assignment, probe selection, and
-        # exact re-rank all recompute in SQL. Cell/probe tie-breaks
-        # mirror numpy argmax/argsort (first index wins).
-        "sim_ivf_topk": """
-            WITH hashed AS (
-              SELECT vec_id, embedding,
-                     ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
-                       ::BIGINT AS h
-              FROM embeddings),
-            seedrows AS (
-              SELECT vec_id, embedding FROM hashed
-              ORDER BY h, vec_id LIMIT 16),
-            seeds AS (
-              SELECT row_number() OVER (
-                       ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
-                                 1, 15))::BIGINT, vec_id) - 1 AS cell,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE) /
-                       sqrt(list_sum(list_transform(embedding,
-                         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
-                       AS cvec
-              FROM seedrows),
-            celldots AS (
-              SELECT v.vec_id, s.cell,
-                     list_sum(list_transform(list_zip(v.embedding, s.cvec),
-                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                       / sqrt(list_sum(list_transform(v.embedding,
-                         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS dot
-              FROM hashed v CROSS JOIN seeds s),
-            cells AS (
-              SELECT vec_id, cell FROM (
-                SELECT vec_id, cell, row_number() OVER (
-                         PARTITION BY vec_id ORDER BY dot DESC, cell ASC)
-                       AS rn
-                FROM celldots) WHERE rn = 1),
-            queries AS (
-              SELECT vec_id AS query_id, embedding AS qvec
-              FROM embeddings ORDER BY vec_id LIMIT 3),
-            probes AS (
-              SELECT query_id, cell FROM (
-                SELECT q.query_id, s.cell, row_number() OVER (
-                         PARTITION BY q.query_id
-                         ORDER BY list_sum(list_transform(
-                           list_zip(q.qvec, s.cvec),
-                           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                           DESC, s.cell ASC) AS rn
-                FROM queries q CROSS JOIN seeds s) WHERE rn <= 4),
-            cand AS (
-              SELECT p.query_id, q.qvec, c.vec_id, e.embedding
-              FROM cells c
-              JOIN probes p ON c.cell = p.cell
-              JOIN queries q ON p.query_id = q.query_id
-              JOIN embeddings e ON c.vec_id = e.vec_id
-              WHERE c.vec_id <> p.query_id),
-            scored AS (
-              SELECT query_id, vec_id,
-                round(
-                  list_sum(list_transform(list_zip(embedding, qvec),
-                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                  / (sqrt(list_sum(list_transform(embedding,
-                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                   * sqrt(list_sum(list_transform(qvec,
-                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
-                  AS cosine
-              FROM cand)
-            SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
-            FROM (SELECT *, row_number() OVER (
-                    PARTITION BY query_id
-                    ORDER BY cosine DESC, vec_id ASC) AS rank
-                  FROM scored)
-            WHERE rank <= 5
-        """,
+        # IVF: seeds are md5-hash-ordered rows (similarity._seed_query)
+        # and the whole quantizer — 2 Lloyd rounds included — lives in
+        # floor(x*2^20) integer space, so cell assignment, centroid
+        # updates, probe selection, and the exact re-rank all recompute
+        # in SQL bit-identically (oracles.ivf_topk_oracle).
+        "sim_ivf_topk": oracles.ivf_topk_oracle(),
         # Multimodal: the synthetic media table's METADATA is a pure
         # formula over media_id (operators/multimodal.synthetic_media),
         # so the frame-sample plan and the metadata rule recompute fully

