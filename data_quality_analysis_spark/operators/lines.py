@@ -27,14 +27,22 @@ Scale design (100 TB):
   budget class as the IVF centroid seeds, similarity.py) and inlined as
   a literal array, so phase 2 is scan → project — each file's lines are
   filtered in place with ``array_contains`` (O(top_k) per line against
-  a broadcast constant; top_k defaults to 256). Plan pinned in
-  tests/test_plans.py: zero Exchange, zero Join in the scrub stage.
+  a broadcast constant; top_k defaults to 256). Deployments that raise
+  ``top_k`` past :data:`BROADCAST_THRESHOLD` switch automatically to a
+  broadcast-variable + O(1)-set ``mapInPandas`` probe — still scan →
+  project. Plan pinned in tests/test_plans.py for BOTH strategies:
+  zero Exchange, zero Join in the scrub stage.
 """
 
 from __future__ import annotations
 
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from data_quality_analysis_spark.corpus import corpus_view
 
@@ -45,6 +53,12 @@ MIN_LINE_LEN = 8  # shorter lines (blank, "}", "end") never count as boilerplate
 # deployment raises it to hundreds, which only shrinks the scrub set.
 MIN_FILES = 2
 TOP_K = 256  # scrub-set cap — bounds the driver collect and per-line probe
+# Above this set size the literal-array plan stops making sense: the plan
+# string grows with top_k and array_contains is an O(top_k) scan per line.
+# The fallback ships the hashes once per executor as a broadcast variable
+# and probes an O(1) Python set inside one Arrow-batched mapInPandas —
+# still zero Exchange, zero Join.
+BROADCAST_THRESHOLD = 4096
 
 
 def _file_key(df: DataFrame) -> Column:
@@ -85,16 +99,28 @@ def common_lines(
 def scrub_common_lines(
     df: DataFrame,
     line_hashes: list[str],
+    broadcast_threshold: int = BROADCAST_THRESHOLD,
 ) -> DataFrame:
     """Strip every line whose md5 is in ``line_hashes`` from ``content``,
-    map-side: no shuffle, no join — the hash set (≤ TOP_K entries, from
-    :func:`common_lines`) rides into the plan as a literal array.
+    map-side: no shuffle, no join, ever. Two physical strategies with
+    identical semantics, picked by set size:
+
+    - ``≤ broadcast_threshold`` (the TOP_K=256 default lands here): the
+      hashes ride into the plan as a literal array and the whole scrub is
+      JVM-side ``filter(lines, ...array_contains...)`` — whole-stage
+      codegen, zero Python.
+    - larger sets: the literal array would bloat the plan string and
+      array_contains degrades to an O(top_k) scan per line, so the hashes
+      ship once per executor as a broadcast variable and one Arrow-batched
+      ``mapInPandas`` probes an O(1) set per line.
 
     Returns the input columns plus ``clean_content`` and ``n_removed``.
-    Line order inside each file is preserved (``filter`` keeps array
-    order); files whose every line is removed become the empty string —
-    downstream the empty-content rule (BA-001 analog) drops them.
+    Line order inside each file is preserved; files whose every line is
+    removed become the empty string — downstream the empty-content rule
+    (BA-001 analog) drops them.
     """
+    if len(line_hashes) > broadcast_threshold:
+        return _scrub_via_broadcast(df, line_hashes)
     lines = F.split(F.col("content"), NEWLINE, -1)
     if line_hashes:
         lit_set = F.array(*[F.lit(h) for h in line_hashes])
@@ -106,6 +132,41 @@ def scrub_common_lines(
         F.array_join(kept, NEWLINE).alias("clean_content"),
         (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def _scrub_via_broadcast(df: DataFrame, line_hashes: list[str]) -> DataFrame:
+    """Large-set scrub path: broadcast the hash set, probe it per line in
+    one mapInPandas (md5 via hashlib over UTF-8 bytes — byte-identical to
+    the JVM ``F.md5``). Same output contract as the literal path; the
+    equivalence of the two strategies is pytest-pinned."""
+    bc = df.sparkSession.sparkContext.broadcast(frozenset(line_hashes))
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("clean_content", StringType(), True),
+            StructField("n_removed", LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hashes = bc.value
+        for pdf in batches:
+            cleaned, removed = [], []
+            for content in pdf["content"]:
+                lines = content.split(NEWLINE)
+                kept = [
+                    ln
+                    for ln in lines
+                    if hashlib.md5(ln.encode("utf-8")).hexdigest() not in hashes
+                ]
+                cleaned.append(NEWLINE.join(kept))
+                removed.append(len(lines) - len(kept))
+            out = pdf.copy()
+            out["clean_content"] = cleaned
+            out["n_removed"] = pd.Series(removed, index=pdf.index, dtype="int64")
+            yield out
+
+    return df.mapInPandas(run, schema)
 
 
 # ------------------------------------------------------ driver queries --

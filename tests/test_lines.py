@@ -109,3 +109,28 @@ def test_line_scrub_is_idempotent(spark):
     again = lines.scrub_common_lines(once, h2)
     assert again.filter("n_removed > 0").count() == 0
     once.unpersist()
+
+
+def test_scrub_strategies_equivalent(spark):
+    """The literal-array and broadcast-set scrub strategies must produce
+    byte-identical output for the same hash set (forcing the broadcast
+    path with threshold=0)."""
+    from data_quality_analysis_spark.corpus import corpus_view
+
+    c = corpus_view(spark, SF_SMOKE).limit(120)
+    hashes = [
+        r["line_hash"]
+        for r in lines.common_lines(c).select("line_hash").collect()
+    ]
+    assert hashes
+    lit = {
+        (r["repo"], r["path"]): (r["clean_content"], r["n_removed"])
+        for r in lines.scrub_common_lines(c, hashes).collect()
+    }
+    bc = {
+        (r["repo"], r["path"]): (r["clean_content"], r["n_removed"])
+        for r in lines.scrub_common_lines(
+            c, hashes, broadcast_threshold=0
+        ).collect()
+    }
+    assert lit == bc

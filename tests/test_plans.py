@@ -317,6 +317,23 @@ def test_line_scrub_is_pure_projection(spark):
     assert "Join" not in detect and "Window" not in detect
 
 
+def test_line_scrub_broadcast_fallback_no_exchange(spark):
+    """Raising top_k past BROADCAST_THRESHOLD must keep the scan→project
+    plan: the 50k-hash set moves to a broadcast variable + one
+    MapInPandas — still zero Exchange / zero Join, and the plan string
+    stays O(1) instead of inlining 50k literals."""
+    from data_quality_analysis_spark.corpus import corpus_view
+    from data_quality_analysis_spark.operators import lines
+
+    c = corpus_view(spark, SF_SMOKE)
+    big = [f"{i:032x}" for i in range(50_000)]
+    plan = _plan(lines.scrub_common_lines(c, big))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+    assert len(plan) < 20_000  # literals did NOT ride into the plan
+
+
 def test_charset_stats_no_shuffle(spark):
     from data_quality_analysis_spark.operators import text
 
