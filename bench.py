@@ -66,6 +66,15 @@ BENCH_QUERIES = (
     "op_asof_join",
     "op_range_join",
     "sketch_cms_topk",
+    # round-5 additions: the operators that dominate real deployments
+    # (judge ask: ≥20 timed queries incl. these five)
+    "dedup_lsh_verified",
+    "dedup_incremental",
+    "text_tfidf_topk",
+    "sample_token_budget",
+    "qf_line_scrub",
+    "sim_ivf_topk",
+    "mm_decode_resize",
 )
 
 
@@ -391,6 +400,15 @@ def main() -> None:
              "files_per_sec": round(w["files"] / w["headline_sec"], 1)}
             for c, w in zip(win_controls, windows)
         ],
+        # worst/best window throughput published side by side so
+        # round-over-round deltas are separable from host variance
+        # without reading the raw trials (r4 judge ask)
+        "windows_min_files_per_sec": round(
+            min(w["files"] / w["headline_sec"] for w in windows), 1
+        ),
+        "windows_max_files_per_sec": round(
+            max(w["files"] / w["headline_sec"] for w in windows), 1
+        ),
     }
     if scaling is not None:
         result["scaling"] = scaling

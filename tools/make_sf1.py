@@ -1,0 +1,87 @@
+"""Synthesize a deterministic sf1 testdata directory (10× sf0.1) for the
+scale-probe correctness run.
+
+The driver ships sf0.001/0.01/0.1 only; the judge's round-4 ask is
+"oracle-green at 10× rows with no plan change". This derives
+``dist/sf1`` from sf0.1 entirely inside the repo (testdata is
+read-only): documents and embeddings are replicated 10× with new ids —
+replica 0 is the original; replicas ending in 0 keep the text byte-
+identical (planting big exact-duplicate families, the pathological case
+for dedup caps), the rest get a deterministic per-replica suffix line so
+near-dup and shingle paths see real variation. Embeddings are perturbed
+by a deterministic per-replica scale on one coordinate. The remaining
+TPC-H-ish tables are copied verbatim (the heavy families under probe —
+dedup_*, sim_*, sketch_*, sample_*, text_* — read only documents and
+embeddings).
+
+Usage: python tools/make_sf1.py [out_dir]  (default /root/repo/dist/sf1)
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+ID_STRIDE = 1_000_000  # far above sf0.1's max id (4999)
+
+
+def main(out_dir: str = "/root/repo/dist/sf1") -> None:
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT d.doc_id + r.r * {ID_STRIDE} AS doc_id,
+                 CASE WHEN r.r % 5 = 0 THEN d.text
+                      ELSE d.text || chr(10) || 'replica-' || r.r ||
+                           '-of-' || d.doc_id END AS text,
+                 d.lang, d.source,
+                 CAST(length(CASE WHEN r.r % 5 = 0 THEN d.text
+                      ELSE d.text || chr(10) || 'replica-' || r.r ||
+                           '-of-' || d.doc_id END) AS BIGINT) AS n_chars
+          FROM '{SRC}/documents.parquet' d
+          CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+        ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.vec_id + r.r * {ID_STRIDE} AS vec_id,
+                 CASE WHEN r.r = 0 THEN e.embedding
+                      ELSE list_transform(
+                        list_zip(e.embedding,
+                                 range(1, len(e.embedding) + 1)),
+                        z -> CAST(z[1] * (1.0 + (r.r * CAST(z[2] AS BIGINT)
+                               % 13 - 6) / 997.0) AS FLOAT))
+                 END AS embedding,
+                 e.label
+          FROM '{SRC}/embeddings.parquet' e
+          CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+        ) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+    ):
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    n_d = con.sql(f"SELECT count(*) FROM '{out_dir}/documents.parquet'").fetchone()[0]
+    n_e = con.sql(f"SELECT count(*) FROM '{out_dir}/embeddings.parquet'").fetchone()[0]
+    print(f"sf1 written to {out_dir}: documents={n_d} embeddings={n_e}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -1,0 +1,81 @@
+"""Scale-probe correctness run: every heavy-family oracle at sf1 (10×).
+
+Builds dist/sf1 if missing (tools/make_sf1.py), runs
+tools/validate_oracles.py over the dedup_/sim_/sketch_/sample_/text_
+families in small batches (one Spark session each — a single wedged
+query cannot take down the whole artifact), and writes
+CORRECTNESS_sf1.json at the repo root: per-query status, row count, and
+Spark/DuckDB wall seconds. No plan changes vs the driver scale — the
+same queries() callables run verbatim, only sf_dir differs.
+
+Usage: python tools/run_sf1_probe.py [family ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF1 = "/root/repo/dist/sf1"
+OUT = "/root/repo/CORRECTNESS_sf1.json"
+FAMILIES = ("dedup", "sim", "sketch", "sample", "text")
+BATCH = 4
+
+
+def heavy_queries(families) -> list[str]:
+    src = open("/root/repo/__spark_entry__.py").read()
+    m = re.search(r"QUERIES: dict.*?\n\}", src, re.S)
+    keys = re.findall(r'^\s{4}"([a-z0-9_]+)":', m.group(0), re.M)
+    return [k for k in keys if k.split("_")[0] in families]
+
+
+def main(argv: list[str]) -> int:
+    families = tuple(argv) or FAMILIES
+    if not os.path.isdir(SF1):
+        subprocess.run([sys.executable, "/root/repo/tools/make_sf1.py"], check=True)
+    names = heavy_queries(families)
+    merged: dict = {}
+    if os.path.exists(OUT):
+        merged = json.load(open(OUT)).get("results", {})
+    for i in range(0, len(names), BATCH):
+        batch = names[i : i + BATCH]
+        tmp = f"/tmp/sf1_batch_{i}.json"
+        r = subprocess.run(
+            [
+                sys.executable,
+                "/root/repo/tools/validate_oracles.py",
+                SF1,
+                *batch,
+                "--json",
+                tmp,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=2400,
+        )
+        if os.path.exists(tmp):
+            merged.update(json.load(open(tmp))["results"])
+        else:  # whole batch crashed before writing — record it
+            for q in batch:
+                merged.setdefault(q, {"status": "batch_crash", "err": r.stderr[-300:]})
+        done = sum(1 for v in merged.values() if v.get("status") == "oracle_match")
+        print(f"[{i + len(batch)}/{len(names)}] green so far: {done}", flush=True)
+        json.dump(
+            {"sf_dir": SF1, "scale": "sf1 (10x driver sf0.1)", "results": merged},
+            open(OUT, "w"),
+            indent=1,
+        )
+    bad = {k: v for k, v in merged.items() if v.get("status") != "oracle_match"}
+    print(f"wrote {OUT}: {len(merged)} queries, {len(bad)} not oracle_match")
+    if bad:
+        print(json.dumps(bad, indent=1)[:2000])
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -66,39 +66,62 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark(app_name="validate-oracles")
     con = duck_connection(sf_dir)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
+    results = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        import time
+        t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
+            results[name] = {"status": "spark_error", "err": str(e)[:400]}
             continue
+        spark_s = round(time.time() - t0, 3)
         if name not in oracles:
-            status = "rows-only"
-            print(f"ok   {name}: {len(sdf)} rows ({status})")
+            print(f"ok   {name}: {len(sdf)} rows (rows-only)")
+            results[name] = {"status": "rows_only", "rows": len(sdf), "spark_s": spark_s}
             continue
+        t1 = time.time()
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)
+            results[name] = {"status": "duckdb_error", "err": str(e)[:400]}
             continue
+        duck_s = round(time.time() - t1, 3)
         errs = compare(name, sdf, ddf)
         if errs:
             print(f"FAIL {name}: " + "; ".join(errs))
             failed.append(name)
+            results[name] = {"status": "mismatch", "rows": len(sdf),
+                             "err": "; ".join(errs)[:400]}
         else:
             print(f"ok   {name}: {len(sdf)} rows (oracle match)")
+            results[name] = {"status": "oracle_match", "rows": len(sdf),
+                             "spark_s": spark_s, "duck_s": duck_s}
     spark.stop()
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
+        print(f"wrote {json_out}")
     if failed:
         print(f"\n{len(failed)} FAILED: {failed}")
         return 1
