@@ -483,8 +483,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # back in for freshness), the 4 queries new or changed in r5
     # (mm_decode_resize BMP codec; sim_ivf_topk Lloyd refinement;
     # qf_line_scrub / qf_common_lines scrub-strategy change), and 5
-    # heavy operators newly added to bench.py. Tail (51+): r4-green rows,
-    # all still covered locally by tests/test_oracle_parity.py.
+    # r4-green heavy operators deliberately re-greened under the driver
+    # because bench.py now times them (dedup_minhash_lsh/_incremental/
+    # _lsh_verified, sketch_cms_topk, sample_token_budget —
+    # text_tfidf_topk, also newly benched, stays in the tail on its
+    # r4-green row). Tail (51+): r4-green rows, all still covered
+    # locally by tests/test_oracle_parity.py.
     "op_temporal_outlier": relational.temporal_outlier,
     "op_numeric_outlier_bounds": relational.numeric_outlier_bounds,
     "op_hierarchy_rollup": relational.hierarchy_rollup,

@@ -153,6 +153,12 @@ def _scrub_via_broadcast(df: DataFrame, line_hashes: list[str]) -> DataFrame:
         for pdf in batches:
             cleaned, removed = [], []
             for content in pdf["content"]:
+                if content is None:
+                    # Match the literal path: split(NULL) → NULL array, so
+                    # both output columns stay NULL.
+                    cleaned.append(None)
+                    removed.append(None)
+                    continue
                 lines = content.split(NEWLINE)
                 kept = [
                     ln
@@ -163,7 +169,7 @@ def _scrub_via_broadcast(df: DataFrame, line_hashes: list[str]) -> DataFrame:
                 removed.append(len(lines) - len(kept))
             out = pdf.copy()
             out["clean_content"] = cleaned
-            out["n_removed"] = pd.Series(removed, index=pdf.index, dtype="int64")
+            out["n_removed"] = pd.Series(removed, index=pdf.index, dtype="Int64")
             yield out
 
     return df.mapInPandas(run, schema)

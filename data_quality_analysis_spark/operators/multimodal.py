@@ -361,6 +361,29 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 RESIZE_TARGET = 224  # the ubiquitous vision-model input edge
 
 
+def _spec_columns(target: int):
+    """The resize-plan math as reusable Columns over (width, height):
+    (valid, needs_resize, scale, out_width, out_height). Shared by
+    :func:`resize_spec` and :func:`decode_resize` so the executing path
+    is a pure projection — never a join back onto its own input (Spark
+    computes both sides of a self-join from scratch)."""
+    w, h = F.col("width"), F.col("height")
+    valid = w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0)
+    short = F.least(w, h)
+    scale = F.round(F.lit(target) / short, 6)
+    needs = valid & (short > target)
+    # dims from the EXACT ratio dim*target/short, not the 6dp-rounded
+    # scale: floor(dim * round(target/short, 6)) lands the short edge on
+    # target−1 for ~40% of sizes (e.g. 101→floor(95.999995)=95), while
+    # short*target/short is exactly target in IEEE — the rounded scale
+    # column is reporting metadata only.
+    out_w = F.when(needs, F.greatest(F.floor(w * target / short), F.lit(1)))\
+        .otherwise(F.when(valid, w.cast("long")))
+    out_h = F.when(needs, F.greatest(F.floor(h * target / short), F.lit(1)))\
+        .otherwise(F.when(valid, h.cast("long")))
+    return valid, needs, scale, out_w, out_h
+
+
 def resize_spec(
     df: DataFrame, target: int = RESIZE_TARGET
 ) -> DataFrame:
@@ -376,20 +399,8 @@ def resize_spec(
     the pixel kernel is not. Audio rows (no dimensions) pass through
     with NULL spec, mirroring how the reference's per-table checks skip
     inapplicable fields."""
+    valid, needs, scale, out_w, out_h = _spec_columns(target)
     w, h = F.col("width"), F.col("height")
-    valid = w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0)
-    short = F.least(w, h)
-    scale = F.round(F.lit(target) / short, 6)
-    needs = valid & (short > target)
-    # dims from the EXACT ratio dim*target/short, not the 6dp-rounded
-    # scale: floor(dim * round(target/short, 6)) lands the short edge on
-    # target−1 for ~40% of sizes (e.g. 101→floor(95.999995)=95), while
-    # short*target/short is exactly target in IEEE — the rounded scale
-    # column is reporting metadata only.
-    out_w = F.when(needs, F.greatest(F.floor(w * target / short), F.lit(1)))\
-        .otherwise(F.when(valid, w.cast("long")))
-    out_h = F.when(needs, F.greatest(F.floor(h * target / short), F.lit(1)))\
-        .otherwise(F.when(valid, h.cast("long")))
     return df.select(
         "media_id",
         "kind",
@@ -475,13 +486,17 @@ def decode_resize(df: DataFrame, target: int = 12) -> DataFrame:
     /root/reference/Library/ConvertToPersistent.R:21-38 (row-wise rewrite
     with unchanged rows preserved), executed here as Arrow-batched numpy.
     """
-    spec = resize_spec(df, target=target).select(
+    _valid, needs, _scale, out_w, out_h = _spec_columns(target)
+    # inline projection, NOT a join back onto resize_spec(df): the spec is
+    # pure column math over df's own width/height, and a media_id self-join
+    # would recompute the input lineage twice plus an exchange.
+    planned = df.select(
         "media_id",
-        F.col("needs_resize").alias("_needs"),
-        F.col("out_width").alias("_ow"),
-        F.col("out_height").alias("_oh"),
+        "payload",
+        needs.alias("_needs"),
+        out_w.alias("_ow"),
+        out_h.alias("_oh"),
     )
-    planned = df.select("media_id", "payload").join(spec, "media_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

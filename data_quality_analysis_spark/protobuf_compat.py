@@ -18,8 +18,10 @@ On a properly provisioned cluster ``google.protobuf`` imports natively and
 
 Worker processes: ``site`` imports ``sitecustomize`` at interpreter startup
 from any PYTHONPATH directory, so :data:`SITECUSTOMIZE_DIR` (which holds a
-``sitecustomize.py`` that calls :func:`install`) plus the two vendor roots are
-what :func:`worker_pythonpath` returns; session.get_spark exports them via the
+``sitecustomize.py`` that calls :func:`install`) plus the repo root are
+what :func:`worker_pythonpath` returns (the vendor roots themselves stay off
+PYTHONPATH — install() appends them after site-packages so they can never
+shadow real packages); session.get_spark exports them via the
 ``PYTHONPATH`` env var / ``spark.executorEnv.PYTHONPATH`` before the JVM
 spawns, so every Spark Python worker self-installs the fallback before
 pyspark's pb2 import runs.
@@ -92,6 +94,17 @@ def install() -> bool:
                     # append, never prepend: the vendor tree must not
                     # shadow anything the environment already provides
                     sys.path.append(p)
+            # The failed probe import may have cached a FILE-LESS
+            # namespace `google`/`google.protobuf` (spark-core.jar on a
+            # worker's sys.path carries google/protobuf/*.proto entries,
+            # which zipimport serves as a namespace portion). A cached
+            # namespace module never re-resolves to the regular package
+            # the appended roots now provide — purge the remnants so the
+            # retry can find the real one.
+            for name in ("google.protobuf", "google"):
+                mod = sys.modules.get(name)
+                if mod is not None and getattr(mod, "__file__", None) is None:
+                    del sys.modules[name]
             if not _base_importable():
                 return False
             _fallback_active = True
@@ -117,4 +130,9 @@ def worker_pythonpath() -> str | None:
     if not os.path.isdir(os.path.join(_VENDOR_ROOTS[1], "google", "protobuf")):
         return None  # nothing to offer
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return os.pathsep.join([SITECUSTOMIZE_DIR, repo_root, *_VENDOR_ROOTS])
+    # Deliberately NOT the vendor roots: PYTHONPATH entries precede
+    # site-packages/stdlib in sys.path, and the gcloud third_party tree
+    # carries top-level packages (six, dateutil, a py2 concurrent backport)
+    # that must never shadow the worker's real ones. sitecustomize runs
+    # install(), which APPENDS the vendor roots after site-packages.
+    return os.pathsep.join([SITECUSTOMIZE_DIR, repo_root])

@@ -134,3 +134,25 @@ def test_scrub_strategies_equivalent(spark):
         ).collect()
     }
     assert lit == bc
+
+
+def test_scrub_strategies_equivalent_on_null_content(spark):
+    """NULL content must yield NULL clean_content/n_removed on BOTH
+    strategies (split(NULL) semantics), not crash the broadcast path."""
+    df = _toy(spark).union(
+        spark.createDataFrame(
+            [("rn", "null_file", None)],
+            "repo string, path string, content string",
+        )
+    )
+    hashes = [
+        r["line_hash"]
+        for r in lines.common_lines(df, min_files=2).select("line_hash").collect()
+    ]
+    for threshold in (len(hashes) + 1, 0):  # literal path, then broadcast path
+        row = (
+            lines.scrub_common_lines(df, hashes, broadcast_threshold=threshold)
+            .filter("path = 'null_file'")
+            .collect()[0]
+        )
+        assert row["clean_content"] is None and row["n_removed"] is None

@@ -6,14 +6,13 @@
 # worker PYTHONPATH and drops spark.executorEnv.PYTHONPATH (unlike every
 # other worker launch path), so env-var injection alone never reaches it —
 # wrapping the interpreter is the one hook every launch path honors.
-# Prepends the sitecustomize hook dir + vendored-protobuf roots, then
-# execs the real interpreter (PBCOMPAT_REAL_PYTHON, default python3).
+# Prepends only the sitecustomize hook dir + repo root (the vendor roots
+# stay OFF PYTHONPATH — sitecustomize's install() appends them after
+# site-packages, so gcloud's vendored six/dateutil/py2-concurrent can never
+# shadow the worker's real packages), then execs the real interpreter
+# (PBCOMPAT_REAL_PYTHON, default python3).
 HERE="$(cd "$(dirname "$0")/.." && pwd)"
 COMPAT="$HERE/data_quality_analysis_spark/pbcompat_path:$HERE"
-GCLOUD="/usr/lib/google-cloud-sdk/lib/third_party"
-if [ -d "$GCLOUD/cloudsdk/google/protobuf" ]; then
-  COMPAT="$COMPAT:$GCLOUD:$GCLOUD/cloudsdk"
-fi
 if [ -n "$PYTHONPATH" ]; then
   PYTHONPATH="$COMPAT:$PYTHONPATH"
 else

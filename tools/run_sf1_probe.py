@@ -44,25 +44,31 @@ def main(argv: list[str]) -> int:
         merged = json.load(open(OUT)).get("results", {})
     for i in range(0, len(names), BATCH):
         batch = names[i : i + BATCH]
-        tmp = f"/tmp/sf1_batch_{i}.json"
-        r = subprocess.run(
-            [
-                sys.executable,
-                "/root/repo/tools/validate_oracles.py",
-                SF1,
-                *batch,
-                "--json",
-                tmp,
-            ],
-            capture_output=True,
-            text=True,
-            timeout=2400,
-        )
+        tmp = f"/tmp/sf1_batch_{os.getpid()}_{i}.json"
+        if os.path.exists(tmp):  # never let a stale file mask a crash
+            os.unlink(tmp)
+        try:
+            r = subprocess.run(
+                [
+                    sys.executable,
+                    "/root/repo/tools/validate_oracles.py",
+                    SF1,
+                    *batch,
+                    "--json",
+                    tmp,
+                ],
+                capture_output=True,
+                text=True,
+                timeout=2400,
+            )
+            err_tail = r.stderr[-300:]
+        except subprocess.TimeoutExpired:
+            err_tail = "timeout after 2400s"
         if os.path.exists(tmp):
             merged.update(json.load(open(tmp))["results"])
-        else:  # whole batch crashed before writing — record it
+        else:  # whole batch crashed/hung before writing — record it
             for q in batch:
-                merged.setdefault(q, {"status": "batch_crash", "err": r.stderr[-300:]})
+                merged.setdefault(q, {"status": "batch_crash", "err": err_tail})
         done = sum(1 for v in merged.values() if v.get("status") == "oracle_match")
         print(f"[{i + len(batch)}/{len(names)}] green so far: {done}", flush=True)
         json.dump(
