@@ -4,16 +4,17 @@ Image/audio/video payloads are opaque ``binary`` columns plus a typed
 metadata struct. The Spark-side plumbing (schema, partition sizing, Arrow
 batch shape, UDF signatures) is real and tested.
 
-Decode is REAL for 24-bit uncompressed BMP (``BI_RGB``): the wire format
-is pure byte math, so :func:`decode_image` / :func:`encode_bmp` /
-:func:`resize_image` run as vectorized numpy inside the existing
-``mapInPandas`` with no codec library, and the integer-exact resample
-kernels (:func:`resample_nearest`, fixed-point :func:`resample_bilinear`)
-make the output bytes reproducible by a pure-Python oracle. Compressed
-formats (PNG/JPEG/audio/video codecs) still raise
-``NotImplementedError`` — those genuinely need external libraries, and a
-deterministic fake stands in so downstream stages exercise real data
-flow.
+Decode is REAL for the two uncompressed wire formats that are pure byte
+math — 24-bit BMP (``BI_RGB``) images and 16-bit mono PCM WAV audio — so
+:func:`decode_image` / :func:`encode_bmp` / :func:`resize_image` and
+:func:`decode_wav` / :func:`encode_wav` / :func:`resample_wav` run as
+vectorized numpy inside the existing ``mapInPandas`` with no codec
+library, and the integer-exact resample kernels (center-aligned nearest;
+8.8 fixed-point bilinear/linear) make the output bytes reproducible by a
+pure-Python oracle. Compressed formats (PNG/JPEG/MP3/video codecs) still
+raise ``NotImplementedError`` — those genuinely need external libraries,
+and a deterministic fake stands in so downstream stages exercise real
+data flow.
 """
 
 from __future__ import annotations
@@ -562,3 +563,226 @@ def media_resize_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("out_width", F.lit(-1)).alias("out_width"),
         F.coalesce("out_height", F.lit(-1)).alias("out_height"),
     ).orderBy("media_id")
+
+
+# -------------------------------------------------------------- WAV codec --
+# Canonical RIFF/WAVE, 16-bit mono PCM (audio_format=1): "RIFF" + size +
+# "WAVE", then word-aligned chunks; decode walks the chunk list (players
+# tolerate LIST/cue chunks before "data", so the reader must too) and the
+# encoder always emits the minimal fmt+data layout. Everything is integer
+# byte math — no float in decode, encode, or the resample kernels — so
+# payload→samples→payload round-trips bit-exactly and a loop-based
+# pure-Python oracle (oracles.media_audio_decode_oracle) reproduces the
+# Spark output sha256 independently. Same design as the BMP section above.
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Encode a 1-D int16 sample array as canonical 16-bit mono PCM WAV
+    (RIFF size = 36 + data bytes, fmt chunk of 16 bytes, then data)."""
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("encode_wav expects a 1-D int16 array")
+    data = samples.astype("<i2").tobytes()
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        1,  # mono
+        rate,
+        rate * 2,  # byte rate
+        2,  # block align
+        16,  # bits per sample
+        b"data",
+        len(data),
+    )
+    return header + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Decode 16-bit mono PCM WAV into ``(sample_rate, int16 samples)``.
+    Walks the RIFF chunk list (word-aligned), so payloads carrying extra
+    chunks (LIST, cue) before ``data`` decode fine. Non-RIFF payloads and
+    compressed/multi-channel/other-depth audio raise
+    ``NotImplementedError`` — those codecs are not in this container."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only PCM WAV decode is built in; other formats need a codec library"
+        )
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("truncated WAV: missing fmt or data chunk")
+    audio_format, channels, rate, _brate, _balign, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_format != 1 or channels != 1 or bits != 16:
+        raise NotImplementedError(
+            "only 16-bit mono PCM WAV decode is built in"
+        )
+    samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    return int(rate), samples.astype(np.int16)
+
+
+def resample_audio_nearest(samples: np.ndarray, n_out: int) -> np.ndarray:
+    """Nearest-neighbor 1-D resample — the same exact-integer
+    center-aligned index map as the image kernel
+    (:func:`_nearest_src_idx`)."""
+    return np.ascontiguousarray(samples[_nearest_src_idx(n_out, samples.shape[0])])
+
+
+def resample_audio_linear(samples: np.ndarray, n_out: int) -> np.ndarray:
+    """Linear 1-D resample in 8.8 fixed point: out = (s_lo·(256−f) +
+    s_hi·f + 128) >> 8 with the integer weights of :func:`_bilinear_axis`,
+    so output samples are exact integers — identical between this numpy
+    kernel and a loop-based oracle (arithmetic >> floors negatives the
+    same way in numpy int64 and pure Python)."""
+    lo, hi, frac = _bilinear_axis(n_out, samples.shape[0])
+    s = samples.astype(np.int64)
+    acc = s[lo] * (256 - frac) + s[hi] * frac
+    return ((acc + 128) >> 8).astype(np.int16)
+
+
+def resample_wav(payload: bytes, out_rate: int, method: str = "nearest") -> bytes:
+    """Decode a PCM WAV payload, resample the sample train to ``out_rate``
+    with the chosen integer-exact kernel (output length = floor(n_in ·
+    out_rate / in_rate), min 1), re-encode. The audio twin of
+    :func:`resize_image`."""
+    in_rate, samples = decode_wav(payload)
+    n_out = max(samples.shape[0] * out_rate // in_rate, 1)
+    if method == "nearest":
+        out = resample_audio_nearest(samples, n_out)
+    elif method == "linear":
+        out = resample_audio_linear(samples, n_out)
+    else:
+        raise ValueError(f"unknown resample method: {method}")
+    return encode_wav(out, out_rate)
+
+
+# Shared input formulas for the synthetic WAV corpus (the bmp_dims /
+# bmp_pixel pattern): rate, length, and every sample value are pure
+# integer functions of media_id, trivially loopable so the DuckDB oracle
+# regenerates identical inputs without numpy.
+WAV_RATES = (4000, 8000, 16000, 44100)  # ≤ target: pass-through; >: resample
+
+
+def wav_params(i: int) -> tuple[int, int]:
+    """(sample_rate, n_samples) for synthetic clip ``i``."""
+    return WAV_RATES[i % len(WAV_RATES)], 180 + (i * 53) % 400
+
+
+def wav_sample_value(i: int, t: int) -> int:
+    """Sample ``t`` of clip ``i``: a quadratic integer chirp folded into
+    int16 range — deterministic, full-range, no trig."""
+    return (t * t * (3 + 2 * i) + t * (11 + 5 * i) + 7 * i) % 65536 - 32768
+
+
+def wav_payload(i: int) -> bytes:
+    """Deterministic real PCM WAV payload for clip ``i`` (params from
+    :func:`wav_params`, samples from :func:`wav_sample_value`)."""
+    rate, n = wav_params(i)
+    t = np.arange(n, dtype=np.int64)
+    samples = (t * t * (3 + 2 * i) + t * (11 + 5 * i) + 7 * i) % 65536 - 32768
+    return encode_wav(samples.astype(np.int16), rate)
+
+
+def synthetic_wav_media(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Deterministic table of REAL decodable audio: every payload is a
+    valid 16-bit mono PCM WAV whose rate, length, and samples are pure
+    functions of media_id. duration_ms metadata matches the encoded
+    clip."""
+    rows = []
+    for i in range(n):
+        rate, n_samples = wav_params(i)
+        rows.append(
+            (
+                i,
+                "audio",
+                "audio/wav",
+                None,
+                None,
+                1000 * n_samples // rate,
+                bytearray(wav_payload(i)),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AUDIO_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("method", StringType(), False),
+        StructField("in_rate", LongType(), False),
+        StructField("n_in", LongType(), False),
+        StructField("out_rate", LongType(), False),
+        StructField("n_out", LongType(), False),
+        StructField("resampled", StringType(), False),  # yes | passthrough
+        StructField("out_sha", StringType(), False),
+    ]
+)
+
+
+def audio_decode_resample(df: DataFrame, target_rate: int = 8000) -> DataFrame:
+    """The real audio decode→resample→re-encode stage: one ``mapInPandas``
+    pass decodes each PCM WAV, downsamples clips above ``target_rate``
+    with BOTH integer-exact kernels (one output row per (media_id,
+    method)), and re-encodes. Clips at/below target pass through
+    byte-identical — the same content-sha256 pass-through invariant
+    :func:`decode_resize` keeps for images. Unlike the image path there
+    is no JVM-side spec projection: the sample rate lives inside the
+    payload, not in a metadata column, so the plan decision happens in
+    the same Python stage that already holds the decoded header. Still a
+    pure map — scan → one Python stage, no join, no exchange.
+    Reference analog: /root/reference/Library/ConvertToPersistent.R:21-38
+    (row-wise rewrite with unchanged rows preserved)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in AUDIO_DECODE_SCHEMA.names}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                in_rate, samples = decode_wav(raw)
+                needs = in_rate > target_rate
+                n_in = samples.shape[0]
+                n_out = max(n_in * target_rate // in_rate, 1) if needs else n_in
+                for method in ("nearest", "linear"):
+                    if needs:
+                        res = resample_wav(raw, target_rate, method=method)
+                        resampled = "yes"
+                    else:
+                        res = raw  # pass-through: bytes must be identical
+                        resampled = "passthrough"
+                    out["media_id"].append(int(mid))
+                    out["method"].append(method)
+                    out["in_rate"].append(in_rate)
+                    out["n_in"].append(n_in)
+                    out["out_rate"].append(target_rate if needs else in_rate)
+                    out["n_out"].append(n_out)
+                    out["resampled"].append(resampled)
+                    out["out_sha"].append(hashlib.sha256(res).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(run, AUDIO_DECODE_SCHEMA)
+
+
+def media_audio_decode(spark: SparkSession, sf_dir: str, n: int = 48) -> DataFrame:
+    """Driver query: real audio work, oracle-checked — decode every
+    synthetic PCM WAV, resample (nearest + fixed-point linear), re-encode,
+    and emit output-payload sha256 per (media_id, method). The oracle
+    re-derives every sha with an independent loop-based pure-Python codec
+    (oracles.media_audio_decode_oracle), so a single byte of drift in
+    chunk layout, kernel math, or header fields fails the hash compare."""
+    return audio_decode_resample(synthetic_wav_media(spark, n), target_rate=8000).orderBy(
+        "media_id", "method"
+    )

@@ -1468,6 +1468,103 @@ def media_decode_resize_oracle(n: int = 48, target: int = 12) -> str:
     )
 
 
+# ------------------------------------------------- media audio resample --
+def _oracle_wav_encode(samples: list, rate: int) -> bytes:
+    """Independent loop-based 16-bit mono PCM WAV encoder (no numpy, no
+    shared code with multimodal.encode_wav): canonical RIFF + 16-byte fmt
+    + data layout with the exact header field values the product encoder
+    writes."""
+    out = bytearray(b"RIFF")
+    out += (36 + 2 * len(samples)).to_bytes(4, "little")
+    out += b"WAVEfmt "
+    out += (16).to_bytes(4, "little")
+    out += (1).to_bytes(2, "little")  # PCM
+    out += (1).to_bytes(2, "little")  # mono
+    out += rate.to_bytes(4, "little")
+    out += (rate * 2).to_bytes(4, "little")  # byte rate
+    out += (2).to_bytes(2, "little")  # block align
+    out += (16).to_bytes(2, "little")  # bits per sample
+    out += b"data"
+    out += (2 * len(samples)).to_bytes(4, "little")
+    for s in samples:
+        out += (s & 0xFFFF).to_bytes(2, "little")
+    return bytes(out)
+
+
+def _oracle_audio_resample(samples: list, n_out: int, method: str) -> list:
+    """Independent loop-based 1-D resample kernels — same math spec as
+    multimodal's numpy audio kernels (center-aligned nearest; 8.8
+    fixed-point linear with floor-shift rounding, which floors negative
+    accumulators exactly like numpy's arithmetic >>) but a disjoint
+    implementation."""
+    n_in = len(samples)
+    if method == "nearest":
+        return [samples[(2 * j + 1) * n_in // (2 * n_out)] for j in range(n_out)]
+    out = []
+    for j in range(n_out):
+        pos = ((2 * j + 1) * n_in * 256) // (2 * n_out) - 128
+        pos = min(max(pos, 0), (n_in - 1) * 256)
+        lo, frac = pos >> 8, pos & 255
+        hi = min(lo + 1, n_in - 1)
+        acc = samples[lo] * (256 - frac) + samples[hi] * frac
+        out.append((acc + 128) >> 8)  # Python >> floors negatives too
+    return out
+
+
+def media_audio_decode_oracle(n: int = 48, target: int = 8000) -> str:
+    """mm_audio_decode oracle: regenerate every synthetic PCM WAV from
+    the shared input formulas (multimodal.wav_params / wav_sample_value —
+    the bmp_dims pattern), then decode→resample→re-encode entirely in
+    loop-based pure Python (:func:`_oracle_wav_encode`,
+    :func:`_oracle_audio_resample`) and emit the expected per-(media_id,
+    method) output sha256 as literals. Pass-through rows hash the
+    ORIGINAL payload bytes — the same content-sha256 equality invariant
+    the image oracle keeps for untransformed rows."""
+    import hashlib
+
+    from data_quality_analysis_spark.operators.multimodal import (
+        wav_params,
+        wav_sample_value,
+    )
+
+    vals = []
+    for i in range(n):
+        rate, n_in = wav_params(i)
+        samples = [wav_sample_value(i, t) for t in range(n_in)]
+        original = _oracle_wav_encode(samples, rate)
+        needs = rate > target
+        n_out = max(n_in * target // rate, 1) if needs else n_in
+        for method in ("linear", "nearest"):
+            if needs:
+                res = _oracle_audio_resample(samples, n_out, method)
+                payload = _oracle_wav_encode(res, target)
+                resampled = "yes"
+            else:
+                payload = original
+                resampled = "passthrough"
+            vals.append(
+                "(CAST({i} AS BIGINT), '{m}', CAST({r} AS BIGINT), "
+                "CAST({ni} AS BIGINT), CAST({orr} AS BIGINT), "
+                "CAST({no} AS BIGINT), '{rz}', '{sha}')".format(
+                    i=i,
+                    m=method,
+                    r=rate,
+                    ni=n_in,
+                    orr=target if needs else rate,
+                    no=n_out,
+                    rz=resampled,
+                    sha=hashlib.sha256(payload).hexdigest(),
+                )
+            )
+    rows = ",\n  ".join(vals)
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + rows
+        + ") t(media_id, method, in_rate, n_in, out_rate, n_out,"
+        " resampled, out_sha)\nORDER BY media_id, method"
+    )
+
+
 # -------------------------------------------------------- split leakage --
 def split_leakage_oracle(
     shingle_n: int = 3, max_df: int = 100, seed: str = "split3"

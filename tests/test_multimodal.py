@@ -169,3 +169,93 @@ def test_resize_image_passthrough_and_strict_decode(spark):
         else:
             assert min(r["out_width"], r["out_height"]) == 12
             assert r["out_sha"] != hashlib.sha256(raw[mid]).hexdigest()
+
+
+def test_wav_encode_decode_roundtrip():
+    """decode(encode(samples)) == samples across lengths, including
+    full-range negatives."""
+    import numpy as np
+    from data_quality_analysis_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    for n in (1, 2, 63, 400):
+        samples = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        rate, back = mm.decode_wav(mm.encode_wav(samples, 16000))
+        assert rate == 16000 and (back == samples).all()
+
+
+def test_wav_decode_chunk_walking_and_errors():
+    """Extra word-aligned chunks before data decode fine; non-PCM,
+    stereo, 8-bit, and non-RIFF payloads raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+    from data_quality_analysis_spark.operators import multimodal as mm
+
+    samples = np.arange(-5, 5, dtype=np.int16)
+    plain = mm.encode_wav(samples, 8000)
+    # splice a LIST chunk (odd size → pad byte) between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    spliced = plain[:fmt_end] + extra + plain[fmt_end:]
+    rate, back = mm.decode_wav(spliced)
+    assert rate == 8000 and (back == samples).all()
+    for offset, value in ((20, 3), (22, 2), (34, 8)):  # float / stereo / 8-bit
+        bad = bytearray(plain)
+        struct.pack_into("<H", bad, offset, value)
+        with pytest.raises(NotImplementedError):
+            mm.decode_wav(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav(b"ID3\x04" + b"\x00" * 64)  # MP3 magic
+    with pytest.raises(ValueError):
+        mm.decode_wav(plain[:20])  # truncated: no data chunk
+
+
+def test_audio_resample_kernels_match_loop_oracle():
+    """The vectorized numpy audio kernels and the disjoint loop-based
+    oracle kernels agree sample-for-sample, including the floor-shift on
+    negative accumulators and the border clamps."""
+    import numpy as np
+    from data_quality_analysis_spark import oracles
+    from data_quality_analysis_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(23)
+    samples = rng.integers(-32768, 32768, size=441, dtype=np.int16)
+    as_list = [int(s) for s in samples]
+    for n_out in (1, 7, 160, 441, 500):
+        for method, kernel in (
+            ("nearest", mm.resample_audio_nearest),
+            ("linear", mm.resample_audio_linear),
+        ):
+            got = [int(v) for v in kernel(samples, n_out)]
+            assert got == oracles._oracle_audio_resample(as_list, n_out, method)
+    # identity at same length for linear (frac lands on 0 everywhere)
+    assert (mm.resample_audio_linear(samples, 441) == samples).all()
+
+
+def test_audio_decode_resample_passthrough_and_shape(spark):
+    """Full audio path over REAL decodable clips: pass-through rows (rate
+    ≤ target) keep the payload sha256 byte-identical, resampled rows land
+    on floor(n·target/rate) samples at the target rate."""
+    import hashlib
+
+    from data_quality_analysis_spark.operators import multimodal as mm
+
+    media = mm.synthetic_wav_media(spark, n=16)
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = {
+        (r["media_id"], r["method"]): r
+        for r in mm.audio_decode_resample(media, target_rate=8000).collect()
+    }
+    assert len(out) == 32  # 16 clips × 2 kernels
+    for (mid, _method), r in out.items():
+        rate, n_in = mm.wav_params(mid)
+        assert (r["in_rate"], r["n_in"]) == (rate, n_in)
+        if rate <= 8000:
+            assert r["resampled"] == "passthrough"
+            assert r["out_sha"] == hashlib.sha256(raw[mid]).hexdigest()
+        else:
+            assert r["resampled"] == "yes"
+            assert r["out_rate"] == 8000
+            assert r["n_out"] == max(n_in * 8000 // rate, 1)
