@@ -480,13 +480,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver oracle-checks only the FIRST 50 entries per round
     # (tools/audit_driver_window.py verifies the invariant). This round's
     # window: the 41 queries whose newest green driver row is r3 (rotated
-    # back in for freshness), the 5 queries new or changed in r5
+    # back in for freshness), the 6 queries new or changed in r5
     # (mm_decode_resize BMP codec; mm_audio_decode WAV codec;
-    # sim_ivf_topk Lloyd refinement; qf_line_scrub / qf_common_lines
-    # scrub-strategy change), and 4
+    # mm_video_frames AVI codec; sim_ivf_topk Lloyd refinement;
+    # qf_line_scrub / qf_common_lines scrub-strategy change), and 3
     # r4-green heavy operators deliberately re-greened under the driver
     # because bench.py now times them (dedup_minhash_lsh/_incremental/
-    # _lsh_verified, sketch_cms_topk — sample_token_budget and
+    # _lsh_verified — sketch_cms_topk, sample_token_budget, and
     # text_tfidf_topk, also newly benched, stay in the tail on their
     # r4-green rows). Tail (51+): r4-green rows, all still covered
     # locally by tests/test_oracle_parity.py.
@@ -535,6 +535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qf_langid": _qf_langid,
     "mm_decode_resize": multimodal.media_decode_resize,
     "mm_audio_decode": multimodal.media_audio_decode,
+    "mm_video_frames": multimodal.media_video_frames,
     "sim_ivf_topk": similarity.ivf_topk,
     "qf_line_scrub": lines.line_scrub_query,
     "qf_common_lines": lines.common_lines_query,
@@ -1112,6 +1113,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_resize_spec": oracles.media_resize_oracle(),
         "mm_decode_resize": oracles.media_decode_resize_oracle(),
         "mm_audio_decode": oracles.media_audio_decode_oracle(),
+        "mm_video_frames": oracles.media_video_frames_oracle(),
         "sample_mixture": oracles.mixture_sample_oracle(),
         "sample_split_leakage": oracles.split_leakage_oracle(),
         "dedup_lsh_verified": oracles.lsh_verified_oracle(),

@@ -4,17 +4,19 @@ Image/audio/video payloads are opaque ``binary`` columns plus a typed
 metadata struct. The Spark-side plumbing (schema, partition sizing, Arrow
 batch shape, UDF signatures) is real and tested.
 
-Decode is REAL for the two uncompressed wire formats that are pure byte
-math — 24-bit BMP (``BI_RGB``) images and 16-bit mono PCM WAV audio — so
-:func:`decode_image` / :func:`encode_bmp` / :func:`resize_image` and
-:func:`decode_wav` / :func:`encode_wav` / :func:`resample_wav` run as
-vectorized numpy inside the existing ``mapInPandas`` with no codec
-library, and the integer-exact resample kernels (center-aligned nearest;
-8.8 fixed-point bilinear/linear) make the output bytes reproducible by a
-pure-Python oracle. Compressed formats (PNG/JPEG/MP3/video codecs) still
-raise ``NotImplementedError`` — those genuinely need external libraries,
-and a deterministic fake stands in so downstream stages exercise real
-data flow.
+Decode is REAL for the three uncompressed wire formats that are pure
+byte math — 24-bit BMP (``BI_RGB``) images, 16-bit mono PCM WAV audio,
+and uncompressed 24-bit DIB AVI video — so :func:`decode_image` /
+:func:`encode_bmp` / :func:`resize_image`, :func:`decode_wav` /
+:func:`encode_wav` / :func:`resample_wav`, and :func:`decode_avi` /
+:func:`encode_avi` / :func:`video_frame_extract` run as vectorized numpy
+inside the existing ``mapInPandas`` with no codec library, and the
+integer-exact resample kernels (center-aligned nearest; 8.8 fixed-point
+bilinear/linear) make the output bytes reproducible by a pure-Python
+oracle. Compressed formats (PNG/JPEG/MP3/H.264) still raise
+``NotImplementedError`` — those genuinely need external libraries, and a
+deterministic fake stands in so downstream stages exercise real data
+flow.
 """
 
 from __future__ import annotations
@@ -785,4 +787,266 @@ def media_audio_decode(spark: SparkSession, sf_dir: str, n: int = 48) -> DataFra
     chunk layout, kernel math, or header fields fails the hash compare."""
     return audio_decode_resample(synthetic_wav_media(spark, n), target_rate=8000).orderBy(
         "media_id", "method"
+    )
+
+
+# -------------------------------------------------------------- AVI codec --
+# Uncompressed 24-bit DIB AVI (RIFF 'AVI '): LIST hdrl (avih + LIST strl
+# (strh 'vids'/'DIB ' + strf BITMAPINFOHEADER)) then LIST movi holding one
+# '00db' chunk per frame — each frame is the same bottom-up BGR
+# stride-padded row layout as the BMP body, so the frame math is shared
+# with the image codec. Pure byte math again: the oracle for the frame
+# EXTRACTION query (oracles.media_video_frames_oracle) never parses AVI —
+# it regenerates expected frame pixels from the shared formula and
+# BMP-encodes them with the independent loop codec, so any container
+# mis-parse in decode_avi breaks the sha compare.
+
+
+def _dib_frame_bytes(arr: np.ndarray) -> bytes:
+    """One (H, W, 3) uint8 RGB frame as DIB bytes (bottom-up rows, BGR,
+    stride padded to 4) — the BMP body layout without the headers."""
+    h, w, _ = arr.shape
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, :row_bytes] = arr[::-1, :, ::-1].reshape(h, row_bytes)
+    return body.tobytes()
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""  # RIFF word alignment
+    return cid + len(body).to_bytes(4, "little") + body + pad
+
+
+def encode_avi(frames: np.ndarray, us_per_frame: int) -> bytes:
+    """Encode an ``(N, H, W, 3)`` uint8 RGB stack as an uncompressed
+    24-bit DIB AVI at the given frame interval (microseconds)."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_avi expects (N, H, W, 3) uint8")
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_sz = stride * h
+    avih = struct.pack(
+        "<14I",
+        us_per_frame,
+        frame_sz * 1_000_000 // us_per_frame,  # max bytes/sec
+        0,  # padding granularity
+        0,  # flags
+        n,  # total frames
+        0,  # initial frames
+        1,  # streams
+        frame_sz,  # suggested buffer
+        w,
+        h,
+        0,
+        0,
+        0,
+        0,  # reserved
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids",
+        b"DIB ",
+        0,  # flags
+        0,  # priority
+        0,  # language
+        0,  # initial frames
+        us_per_frame,  # scale
+        1_000_000,  # rate (rate/scale = fps)
+        0,  # start
+        n,  # length in frames
+        frame_sz,  # suggested buffer
+        0,  # quality
+        0,  # sample size
+        0,
+        0,
+        w,
+        h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 2835, 2835, 0, 0
+    )
+    strl = _riff_chunk(
+        b"LIST", b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    )
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+    movi_body = b"movi" + b"".join(
+        _riff_chunk(b"00db", _dib_frame_bytes(frames[f])) for f in range(n)
+    )
+    movi = _riff_chunk(b"LIST", movi_body)
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _walk_riff(buf: bytes, pos: int, end: int, out: list) -> None:
+    """Flatten a RIFF chunk tree into (chunk_id, body) pairs, descending
+    into LIST containers (word-aligned advance)."""
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", buf, pos + 4)
+        body_start = pos + 8
+        if cid in (b"LIST", b"RIFF"):
+            _walk_riff(buf, body_start + 4, min(body_start + sz, end), out)
+        else:
+            out.append((cid, buf[body_start : body_start + sz]))
+        pos = body_start + sz + (sz & 1)
+
+
+def decode_avi(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Decode an uncompressed 24-bit DIB AVI into ``(us_per_frame,
+    (N, H, W, 3) uint8 RGB frames)``. Walks the full chunk tree, so extra
+    chunks (idx1, JUNK, INFO lists) are tolerated. Non-AVI payloads and
+    compressed/other-depth streams raise ``NotImplementedError``."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "only uncompressed DIB AVI decode is built in; "
+            "other containers/codecs need a library"
+        )
+    chunks: list = []
+    _walk_riff(payload, 12, len(payload), chunks)
+    avih = strf = None
+    frames_raw = []
+    for cid, body in chunks:
+        if cid == b"avih":
+            avih = body
+        elif cid == b"strf" and strf is None:
+            strf = body
+        elif cid in (b"00db", b"00dc"):
+            frames_raw.append(body)
+    if avih is None or strf is None or len(strf) < 40 or not frames_raw:
+        raise ValueError("truncated AVI: missing avih/strf/frame chunks")
+    (us_per_frame,) = struct.unpack_from("<I", avih, 0)
+    _hdr, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", strf, 0)
+    if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+        raise NotImplementedError(
+            "only 24-bit uncompressed (BI_RGB) AVI frames are built in"
+        )
+    stride = (w * 3 + 3) & ~3
+    frames = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for f, raw in enumerate(frames_raw):
+        if len(raw) < stride * h:
+            raise ValueError("truncated AVI frame data")
+        rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h).reshape(
+            h, stride
+        )[:, : w * 3].reshape(h, w, 3)
+        frames[f] = rows[::-1, :, ::-1]  # bottom-up → top-down, BGR → RGB
+    return int(us_per_frame), frames
+
+
+# Shared input formulas for the synthetic AVI corpus (the bmp_dims /
+# wav_params pattern): dimensions, frame count, frame interval, and every
+# pixel are pure integer functions of media_id, loopable for the oracle.
+AVI_INTERVALS_US = (20000, 40000, 125000)  # 50 / 25 / 8 fps
+
+
+def avi_params(i: int) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, us_per_frame) for synthetic video ``i``."""
+    return (
+        6 + (i * 7) % 19,
+        5 + (i * 5) % 14,
+        4 + (i * 3) % 9,
+        AVI_INTERVALS_US[i % len(AVI_INTERVALS_US)],
+    )
+
+
+def avi_pixel(i: int, f: int, x: int, y: int) -> tuple[int, int, int]:
+    """Pixel (x, y) of frame ``f`` in clip ``i`` — the bmp_pixel formula
+    extended with a per-frame phase."""
+    return (
+        (x * 7 + y * 3 + f * 19 + i) % 256,
+        (x * 5 + y * 11 + f * 23 + 2 * i) % 256,
+        (x * 13 + y * 17 + f * 29 + 3 * i) % 256,
+    )
+
+
+def avi_payload(i: int) -> bytes:
+    """Deterministic real AVI payload for clip ``i`` (params from
+    :func:`avi_params`, pixels from :func:`avi_pixel`)."""
+    w, h, n, uspf = avi_params(i)
+    fs, ys, xs = np.mgrid[0:n, 0:h, 0:w]
+    frames = np.stack(
+        [
+            (xs * 7 + ys * 3 + fs * 19 + i) % 256,
+            (xs * 5 + ys * 11 + fs * 23 + 2 * i) % 256,
+            (xs * 13 + ys * 17 + fs * 29 + 3 * i) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    return encode_avi(frames, uspf)
+
+
+def synthetic_avi_media(spark: SparkSession, n: int = 32) -> DataFrame:
+    """Deterministic table of REAL decodable video: every payload is a
+    valid uncompressed DIB AVI whose dimensions, frame count, timing, and
+    pixels are pure functions of media_id. duration_ms metadata matches
+    the encoded stream."""
+    rows = []
+    for i in range(n):
+        w, h, n_frames, uspf = avi_params(i)
+        rows.append(
+            (
+                i,
+                "video",
+                "video/avi",
+                w,
+                h,
+                n_frames * uspf // 1000,
+                bytearray(avi_payload(i)),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("frame_sha", StringType(), False),
+    ]
+)
+
+
+def video_frame_extract(df: DataFrame, every_ms: int = 100) -> DataFrame:
+    """The real video stage behind :func:`frame_sample_plan`: one
+    ``mapInPandas`` pass decodes each AVI, walks the same ts grid the
+    plan emits (0, every_ms, … < duration), maps each ts to its frame
+    (floor(ts·1000 / us_per_frame), clamped to the last frame — low-fps
+    clips legitimately repeat a frame across adjacent ts), and re-encodes
+    the sampled frame as BMP, emitting its sha256. Pure map: scan → one
+    Python stage, no join, no exchange — the image/audio shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in VIDEO_FRAMES_SCHEMA.names}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                uspf, frames = decode_avi(bytes(payload))
+                n, h, w, _ = frames.shape
+                duration_ms = n * uspf // 1000
+                for ts in range(0, duration_ms, every_ms):
+                    idx = min(ts * 1000 // uspf, n - 1)
+                    out["media_id"].append(int(mid))
+                    out["frame_ts_ms"].append(ts)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame_sha"].append(
+                        hashlib.sha256(encode_bmp(frames[idx])).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(run, VIDEO_FRAMES_SCHEMA)
+
+
+def media_video_frames(spark: SparkSession, sf_dir: str, n: int = 32) -> DataFrame:
+    """Driver query: real video work, oracle-checked — decode every
+    synthetic AVI, sample frames on the 100 ms grid, BMP-encode each
+    sampled frame, and emit its sha256. The oracle regenerates expected
+    frame pixels from the shared formula and BMP-encodes them with the
+    independent loop codec (oracles.media_video_frames_oracle) WITHOUT
+    parsing AVI at all, so any container mis-parse (stride, row order,
+    channel order, chunk walk) fails the hash compare."""
+    return video_frame_extract(synthetic_avi_media(spark, n), every_ms=100).orderBy(
+        "media_id", "frame_ts_ms"
     )

@@ -1565,6 +1565,47 @@ def media_audio_decode_oracle(n: int = 48, target: int = 8000) -> str:
     )
 
 
+# -------------------------------------------------- media video frames --
+def media_video_frames_oracle(n: int = 32, every_ms: int = 100) -> str:
+    """mm_video_frames oracle: regenerate the expected pixels of every
+    sampled frame from the shared input formulas (multimodal.avi_params /
+    avi_pixel), BMP-encode them with the independent loop codec
+    (:func:`_oracle_bmp_encode`), and emit the expected per-(media_id,
+    frame_ts) sha256 as literals. Deliberately does NOT parse or build
+    AVI: the product side must decode the real container to reach the
+    same pixels, so any stride/row-order/channel/chunk-walk mistake in
+    decode_avi fails the hash compare."""
+    import hashlib
+
+    from data_quality_analysis_spark.operators.multimodal import (
+        avi_params,
+        avi_pixel,
+    )
+
+    vals = []
+    for i in range(n):
+        w, h, n_frames, uspf = avi_params(i)
+        duration_ms = n_frames * uspf // 1000
+        for ts in range(0, duration_ms, every_ms):
+            idx = min(ts * 1000 // uspf, n_frames - 1)
+            px = [[avi_pixel(i, idx, x, y) for x in range(w)] for y in range(h)]
+            sha = hashlib.sha256(_oracle_bmp_encode(px, w, h)).hexdigest()
+            vals.append(
+                "(CAST({i} AS BIGINT), CAST({ts} AS BIGINT), "
+                "CAST({idx} AS BIGINT), CAST({w} AS BIGINT), "
+                "CAST({h} AS BIGINT), '{sha}')".format(
+                    i=i, ts=ts, idx=idx, w=w, h=h, sha=sha
+                )
+            )
+    rows = ",\n  ".join(vals)
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + rows
+        + ") t(media_id, frame_ts_ms, frame_idx, width, height, frame_sha)"
+        "\nORDER BY media_id, frame_ts_ms"
+    )
+
+
 # -------------------------------------------------------- split leakage --
 def split_leakage_oracle(
     shingle_n: int = 3, max_df: int = 100, seed: str = "split3"

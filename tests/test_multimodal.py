@@ -259,3 +259,82 @@ def test_audio_decode_resample_passthrough_and_shape(spark):
             assert r["resampled"] == "yes"
             assert r["out_rate"] == 8000
             assert r["n_out"] == max(n_in * 8000 // rate, 1)
+
+
+def test_avi_encode_decode_roundtrip_and_chunk_tolerance():
+    """decode(encode(frames)) is pixel-exact; extra chunks (JUNK inside
+    hdrl, idx1 after movi) are tolerated by the tree walk."""
+    import numpy as np
+    from data_quality_analysis_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(31)
+    frames = rng.integers(0, 256, size=(5, 7, 9, 3), dtype=np.uint8)
+    payload = mm.encode_avi(frames, 40000)
+    uspf, back = mm.decode_avi(payload)
+    assert uspf == 40000 and (back == frames).all()
+    assert mm.encode_avi(back, uspf) == payload
+    # append an idx1 chunk after movi (inside the RIFF body)
+    idx1 = mm._riff_chunk(b"idx1", b"\x00" * 16)
+    padded = bytearray(payload + idx1)
+    new_sz = len(padded) - 8
+    padded[4:8] = new_sz.to_bytes(4, "little")
+    uspf2, back2 = mm.decode_avi(bytes(padded))
+    assert uspf2 == 40000 and (back2 == frames).all()
+
+
+def test_avi_decode_errors():
+    import struct
+
+    import numpy as np
+    import pytest
+    from data_quality_analysis_spark.operators import multimodal as mm
+
+    frames = np.zeros((2, 3, 4, 3), dtype=np.uint8)
+    payload = mm.encode_avi(frames, 40000)
+    with pytest.raises(NotImplementedError):
+        mm.decode_avi(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 64)  # MP4 box
+    # flip strf biCompression to 1 (BI_RLE8) → compressed stream rejected
+    comp_off = payload.index(struct.pack("<IiiHHI", 40, 4, 3, 1, 24, 0)) + 16
+    bad = bytearray(payload)
+    struct.pack_into("<I", bad, comp_off, 1)
+    with pytest.raises(NotImplementedError):
+        mm.decode_avi(bytes(bad))
+    with pytest.raises(ValueError):
+        mm.decode_avi(payload[:60])  # header only: no strf/frames
+
+
+def test_video_frame_extract_sampling_and_shas(spark):
+    """Frame extraction over REAL decodable AVIs: the ts grid matches
+    range(0, duration, every), low-fps clips clamp/repeat frame indices,
+    and every emitted sha equals the BMP hash of the formula-regenerated
+    frame."""
+    import hashlib
+
+    import numpy as np
+    from data_quality_analysis_spark.operators import multimodal as mm
+
+    rows = mm.video_frame_extract(
+        mm.synthetic_avi_media(spark, n=8), every_ms=100
+    ).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == set(range(8))
+    for i, rs in by_id.items():
+        w, h, n_frames, uspf = mm.avi_params(i)
+        duration = n_frames * uspf // 1000
+        assert sorted(r["frame_ts_ms"] for r in rs) == list(range(0, duration, 100))
+        for r in sorted(rs, key=lambda r: r["frame_ts_ms"]):
+            idx = min(r["frame_ts_ms"] * 1000 // uspf, n_frames - 1)
+            assert r["frame_idx"] == idx
+            ys, xs = np.mgrid[0:h, 0:w]
+            frame = np.stack(
+                [
+                    (xs * 7 + ys * 3 + idx * 19 + i) % 256,
+                    (xs * 5 + ys * 11 + idx * 23 + 2 * i) % 256,
+                    (xs * 13 + ys * 17 + idx * 29 + 3 * i) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            expect = hashlib.sha256(mm.encode_bmp(frame)).hexdigest()
+            assert r["frame_sha"] == expect
