@@ -256,11 +256,78 @@ def _bmp_feature(payload: bytes, dim: int = 8) -> np.ndarray:
     )
 
 
+def _wav_feature(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Real decoded-sample feature for PCM WAV payloads: [n_samples,
+    rate, mean, stddev, min, max, zero-crossing rate, duration_s], each
+    normalized to [0, 1]."""
+    rate, samples = decode_wav(payload)
+    s = samples.astype(np.float64)
+    zcr = float(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
+    return np.array(
+        [
+            min(s.size / 1e6, 1.0),
+            min(rate / 48000.0, 1.0),
+            (s.mean() + 32768.0) / 65535.0,
+            s.std() / 32768.0,
+            (s.min() + 32768.0) / 65535.0,
+            (s.max() + 32768.0) / 65535.0,
+            zcr / max(s.size - 1, 1),
+            min(s.size / rate / 600.0, 1.0),
+        ],
+        dtype=np.float32,
+    )
+
+
+def _avi_feature(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Real decoded-frame feature for DIB AVI payloads: [n_frames, h, w,
+    mean R/G/B across frames, gray stddev, mean inter-frame abs delta
+    (motion proxy)], each normalized to [0, 1]."""
+    _uspf, frames = decode_avi(payload)
+    n, h, w = frames.shape[:3]
+    flat = frames.reshape(n, -1, 3).astype(np.float64)
+    gray = flat.mean(axis=2)
+    motion = (
+        float(np.abs(np.diff(frames.astype(np.int16), axis=0)).mean())
+        if n > 1
+        else 0.0
+    )
+    return np.array(
+        [
+            min(n / 1e4, 1.0),
+            h / 8192.0,
+            w / 8192.0,
+            flat[:, :, 0].mean() / 255.0,
+            flat[:, :, 1].mean() / 255.0,
+            flat[:, :, 2].mean() / 255.0,
+            gray.std() / 255.0,
+            motion / 255.0,
+        ],
+        dtype=np.float32,
+    )
+
+
+def _strict_feature(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Dispatch strict decode by payload magic: BMP → pixel stats, PCM
+    WAV → sample stats, DIB AVI → frame stats. Anything else raises
+    ``NotImplementedError`` (no silent fakes in strict mode)."""
+    if payload[:2] == b"BM":
+        return _bmp_feature(payload, dim)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _wav_feature(payload, dim)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _avi_feature(payload, dim)
+    raise NotImplementedError(
+        "strict decode supports BMP / PCM WAV / DIB AVI; "
+        "compressed formats need a codec library"
+    )
+
+
 def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
     """mapInPandas feature extraction over binary payloads — the real
     batch shape (iterator of pandas DataFrames, Arrow-transferred binary).
-    ``strict=True`` decodes for real: BMP payloads yield pixel-statistic
-    features via :func:`decode_image`; unsupported formats raise
+    ``strict=True`` decodes for real: BMP, PCM WAV, and DIB AVI payloads
+    yield decoded-content statistic features (:func:`_strict_feature`
+    dispatches by payload magic); unsupported formats raise
     ``NotImplementedError`` (no silent fakes). ``strict=False`` keeps the
     deterministic digest fake for non-decodable test corpora."""
 
@@ -276,7 +343,7 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
                         ),
                         "n_bytes": pdf["payload"].str.len().astype("int64"),
                         "feature": pdf["payload"].map(
-                            lambda b: _bmp_feature(bytes(b)).tolist()
+                            lambda b: _strict_feature(bytes(b)).tolist()
                         ),
                     }
                 )

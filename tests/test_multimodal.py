@@ -338,3 +338,26 @@ def test_video_frame_extract_sampling_and_shas(spark):
             ).astype(np.uint8)
             expect = hashlib.sha256(mm.encode_bmp(frame)).hexdigest()
             assert r["frame_sha"] == expect
+
+
+def test_strict_features_all_three_codecs(spark):
+    """Strict extract_features dispatches by payload magic and yields
+    real decoded-content statistics for images, audio, AND video — all
+    normalized to [0, 1]; a compressed payload still raises."""
+    import pytest
+    from data_quality_analysis_spark.operators import multimodal as mm
+
+    corpus = (
+        mm.synthetic_bmp_media(spark, n=4)
+        .union(mm.synthetic_wav_media(spark, n=4))
+        .union(mm.synthetic_avi_media(spark, n=4))
+    )
+    feats = mm.extract_features(corpus, strict=True).collect()
+    assert len(feats) == 12
+    kinds = {r["kind"] for r in feats}
+    assert kinds == {"image", "audio", "video"}
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= f <= 1.0 for f in r["feature"]), r
+    with pytest.raises(NotImplementedError):
+        mm._strict_feature(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)

@@ -391,3 +391,23 @@ def test_mixture_sample_corpus_never_shuffles(spark):
     plan = _plan(sampling.mixture_sample(d, "lang"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_media_decode_queries_pure_map(spark):
+    """All three real-codec media stages (image resize, audio resample,
+    video frame extraction) must stay a pure map — scan → pruned project
+    → ONE MapInPandas, no Join, and no Exchange besides the driver-facing
+    orderBy's range partitioning. A join or hash exchange appearing here
+    means someone reintroduced the resize_spec self-join shape."""
+    from data_quality_analysis_spark.operators import multimodal as mm
+
+    stages = [
+        mm.decode_resize(mm.synthetic_bmp_media(spark, 8), target=12),
+        mm.audio_decode_resample(mm.synthetic_wav_media(spark, 8)),
+        mm.video_frame_extract(mm.synthetic_avi_media(spark, 8)),
+    ]
+    for df in stages:
+        plan = _plan(df)
+        assert plan.count("MapInPandas") == 1, plan
+        assert "Join" not in plan, plan
+        assert "Exchange" not in plan, plan
