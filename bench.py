@@ -68,9 +68,10 @@ BENCH_QUERIES = (
     "sketch_cms_topk",
     # round-5 additions: the operators that dominate real deployments —
     # the judge's five (dedup_lsh_verified, dedup_incremental,
-    # text_tfidf_topk, sample_token_budget, qf_line_scrub) plus the two
-    # operators that changed in r5 (sim_ivf_topk Lloyd refinement,
-    # mm_decode_resize BMP codec)
+    # text_tfidf_topk, sample_token_budget, qf_line_scrub) plus the
+    # operators new or changed in r5 (sim_ivf_topk Lloyd refinement,
+    # mm_decode_resize BMP codec, mm_audio_decode WAV codec,
+    # mm_video_frames AVI codec)
     "dedup_lsh_verified",
     "dedup_incremental",
     "text_tfidf_topk",
@@ -78,6 +79,8 @@ BENCH_QUERIES = (
     "qf_line_scrub",
     "sim_ivf_topk",
     "mm_decode_resize",
+    "mm_audio_decode",
+    "mm_video_frames",
 )
 
 
