@@ -479,7 +479,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # === DRIVER WINDOW (positions 1-50) — round-5 rotation ===
     # The driver oracle-checks only the FIRST 50 entries per round
     # (tools/audit_driver_window.py verifies the invariant). This round's
-    # window: the 41 queries whose newest green driver row is r3 (rotated
+    # window: dedup_span_coverage (new in r5 — the Lee et al.
+    # exact-duplicated-substring coverage criterion, never
+    # driver-checked, so it leads), then the queries whose newest green
+    # driver row is r3 (rotated
     # back in for freshness), the 6 queries new or changed in r5
     # (mm_decode_resize BMP codec; mm_audio_decode WAV codec;
     # mm_video_frames AVI codec; sim_ivf_topk Lloyd refinement;
@@ -490,6 +493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # text_tfidf_topk, also newly benched, stay in the tail on their
     # r4-green rows). Tail (51+): r4-green rows, all still covered
     # locally by tests/test_oracle_parity.py.
+    "dedup_span_coverage": dedup.span_coverage,
     "op_temporal_outlier": relational.temporal_outlier,
     "op_numeric_outlier_bounds": relational.numeric_outlier_bounds,
     "op_hierarchy_rollup": relational.hierarchy_rollup,
@@ -1117,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_mixture": oracles.mixture_sample_oracle(),
         "sample_split_leakage": oracles.split_leakage_oracle(),
         "dedup_lsh_verified": oracles.lsh_verified_oracle(),
+        "dedup_span_coverage": oracles.span_coverage_oracle(),
         "dedup_keep_best": f"""
             WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
             edges AS (

@@ -81,6 +81,7 @@ BENCH_QUERIES = (
     "mm_decode_resize",
     "mm_audio_decode",
     "mm_video_frames",
+    "dedup_span_coverage",
 )
 
 

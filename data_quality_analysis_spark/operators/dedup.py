@@ -919,3 +919,107 @@ def keep_best(
         F.desc(score_col), key_col
     )
     return j.withColumn("keep", F.row_number().over(w) == 1)
+
+
+def span_rows(
+    df: DataFrame, w: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per rolling ``w``-token window start: (doc_id, pos,
+    span_hash). Same lead-window stitching as :func:`shingle_rows` but
+    keeps the 0-based start position (coverage needs it) and hashes the
+    span to a 60-bit integer (md5→conv, the DuckDB-reproducible trick)
+    so the downstream shuffles carry (doc_id, pos, long) — never span
+    text."""
+    toks = F.filter(F.split(_normalized(text_col), " ", -1), lambda x: x != "")
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(win) for i in range(1, w)]
+    last = parts[-1]
+    return exploded.select(
+        "doc_id",
+        "pos",
+        F.when(
+            last.isNotNull(),
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", *parts)), 1, 15), 16, 10
+            ).cast("long"),
+        ).alias("span_hash"),
+    ).filter(F.col("span_hash").isNotNull())
+
+
+def duplicated_span_coverage(
+    df: DataFrame, w: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicated-substring coverage — the train-dedup criterion of
+    Lee et al., *Deduplicating Training Data Makes Language Models
+    Better* (ACL 2022): for each document, the fraction of its tokens
+    lying inside some ``w``-token span that occurs ≥2 times anywhere in
+    the corpus (including within the same document). Unlike document- or
+    shingle-set-level dedup (:func:`exact_duplicate_groups`,
+    :func:`minhash_verified_pairs`), this catches partial duplication —
+    a unique page wrapping a copied paragraph — and the fraction is the
+    standard scrub/drop signal for it.
+
+    Plan shape (single pass, three exchanges, no self-join, no Python):
+
+    1. doc_id exchange → lead windows stitch spans (shared with every
+       other shingle consumer);
+    2. span_hash exchange → ``count() OVER (PARTITION BY span_hash)``
+       marks duplicated occurrences inline. A count-window rather than
+       the agg+semi-join formulation: the join would exchange the span
+       rows by hash anyway PLUS re-evaluate the whole explode subtree
+       for the second input (Spark never shares work across self-join
+       inputs — see minhash_verified_pairs), and WindowExec sort-groups
+       spill, so a pathologically hot span (a corpus-wide boilerplate
+       line) degrades to disk instead of an OOM-ing aggregate buffer;
+    3. doc_id exchange → classic interval-union sweep: running max of
+       prior span ends, each occurrence contributes
+       ``max(0, end - max(start-1, max_prev_end))`` newly-covered
+       tokens; the final per-doc sum reuses the sweep's partitioning.
+
+    Token totals ride a separate narrow projection of the input (no
+    shuffle) and left-join the coverage so never-duplicated docs report
+    0.0, not NULL (driver hash-compare needs non-NULL markers)."""
+    spans = span_rows(df, w=w, text_col=text_col, id_col=id_col)
+    occ = spans.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("span_hash"))
+    ).filter(F.col("_n") >= 2)
+    sweep = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(w - 1)).over(
+        sweep.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        (F.col("pos") + F.lit(w - 1))
+        - F.greatest(F.col("pos") - 1, F.coalesce(prev_end, F.lit(-1))),
+    )
+    covered = (
+        occ.withColumn("_c", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("_c").alias("dup_tokens"))
+    )
+    toks = F.filter(F.split(_normalized(text_col), " ", -1), lambda x: x != "")
+    ntok = df.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    return ntok.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            4,
+        ).alias("dup_fraction"),
+    )
+
+
+def span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-document duplicated-8-token-span coverage over
+    the documents table. Full oracle — span hashing (md5-60-bit), the
+    duplicate count-window, and the interval-union sweep all re-derive
+    in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return duplicated_span_coverage(d, w=8).orderBy("doc_id")

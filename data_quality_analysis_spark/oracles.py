@@ -1654,3 +1654,46 @@ SELECT t.split, t.n_docs,
        round(coalesce(l.n_leaked, 0) * 1.0 / t.n_docs, 4) AS leak_rate
 FROM totals t LEFT JOIN leaked l ON t.split = l.split
 """
+
+
+# ------------------------------------------------- duplicated spans --
+def span_coverage_oracle(w: int = 8) -> str:
+    """dedup.duplicated_span_coverage: rolling w-token spans hashed with
+    the md5-60-bit trick, duplicated occurrences found by a count
+    window over span_hash, covered tokens by the same interval-union
+    sweep (running max of prior span ends). unnest(range(...)) rather
+    than a lateral generate_series (DuckDB can't take lateral column
+    args in table functions)."""
+    hi = w - 1
+    return rf"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(
+           coalesce(text, ''), '\s+', ' ', 'g'))), ' '), x -> x <> '') AS toks
+  FROM documents),
+pos AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - {hi} + 1)) AS i
+  FROM norm WHERE len(toks) >= {w}),
+spans AS (
+  SELECT doc_id, i - 1 AS p,
+         ('0x' || substr(md5(array_to_string(toks[i:i+{hi}], ' ')), 1, 15))::BIGINT AS h
+  FROM pos),
+occ AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS n FROM spans)
+  WHERE n >= 2),
+cov AS (
+  SELECT doc_id,
+         greatest(0, (p + {hi}) - greatest(p - 1,
+           coalesce(max(p + {hi}) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1))) AS c
+  FROM occ),
+cd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens FROM cov GROUP BY doc_id),
+nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM norm)
+SELECT nt.doc_id, nt.n_tokens,
+       coalesce(cd.dup_tokens, 0) AS dup_tokens,
+       round(coalesce(cd.dup_tokens, 0) * 1.0 / greatest(nt.n_tokens, 1), 4)
+         AS dup_fraction
+FROM nt LEFT JOIN cd ON nt.doc_id = cd.doc_id
+ORDER BY nt.doc_id
+"""

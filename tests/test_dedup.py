@@ -275,3 +275,49 @@ def test_keep_best_picks_highest_quality_per_cluster(spark):
     out = {r["doc_id"]: r["keep"] for r in dedup.keep_best(clusters, scores).collect()}
     # ties break on doc_id: 2 beats 3, 7 beats 9
     assert out == {1: False, 2: True, 3: False, 7: True, 9: False}
+
+
+def test_span_coverage_planted(spark):
+    """Hand-computable duplicated-span coverage: a copied 8-token
+    sentence inside otherwise-unique docs, a full duplicate pair, a
+    too-short doc, and a unique doc."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        # doc 1/2: the shared span wrapped in unique prefix/suffix —
+        # only the 8 shared tokens are covered (w=8 windows crossing
+        # the boundary contain unique tokens, so they can't duplicate).
+        (1, "uniqueone xray " + shared + " yankee zulu"),
+        (2, "uniquetwo whiskey " + shared + " victor uniform"),
+        # doc 3/4: exact duplicates — every token covered.
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "one two three four five six seven eight nine ten"),
+        # doc 5: shorter than w → zero spans → zero coverage.
+        (5, "tiny doc"),
+        # doc 6: unique, long enough, nothing duplicated.
+        (6, "solo tokens here never repeat anywhere corpus wide honest"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+        for r in dedup.duplicated_span_coverage(df, w=8).collect()
+    }
+    assert got[1] == (12, 8, round(8 / 12, 4))
+    assert got[2] == (12, 8, round(8 / 12, 4))
+    assert got[3] == (10, 10, 1.0)
+    assert got[4] == (10, 10, 1.0)
+    assert got[5] == (2, 0, 0.0)
+    assert got[6] == (9, 0, 0.0)
+
+
+def test_span_coverage_within_doc_repeat_counts(spark):
+    """A span repeated INSIDE one document is duplication too (Lee et
+    al. count all repeats), and overlapping duplicated windows must not
+    double-count tokens (interval union, not sum of window widths)."""
+    eight = "a1 a2 a3 a4 a5 a6 a7 a8"
+    rows = [(1, eight + " " + eight)]  # 16 tokens, span repeats at pos 0 and 8
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    [r] = dedup.duplicated_span_coverage(df, w=8).collect()
+    assert r["n_tokens"] == 16
+    # pos 0 and pos 8 duplicate (identical windows); interleaved windows
+    # (pos 1-7) are unique. Union of [0,7] and [8,15] = 16 tokens.
+    assert r["dup_tokens"] == 16 and r["dup_fraction"] == 1.0

@@ -411,3 +411,23 @@ def test_media_decode_queries_pure_map(spark):
         assert plan.count("MapInPandas") == 1, plan
         assert "Join" not in plan, plan
         assert "Exchange" not in plan, plan
+
+
+def test_span_coverage_single_pass_no_python(spark):
+    """Duplicated-span coverage must stay the single-pass count-window
+    shape: no Python stage, no cartesian, exactly one join (token
+    totals LEFT JOIN coverage), and the duplicate detection must NOT be
+    an agg+semi-join back onto the span subtree (which would pay the
+    explode+window pipeline twice — Spark shares no work across
+    self-join inputs)."""
+    from data_quality_analysis_spark.operators import dedup
+    from data_quality_analysis_spark.session import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(dedup.duplicated_span_coverage(docs, w=8))
+    assert "EvalPython" not in plan, "no Python in the span path"
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert plan.count("Join") == 1, "only the n_tokens left join"
+    # one doc_id lead-window + one span_hash count-window + one doc_id
+    # interval sweep = exactly 3 Window operators, no more
+    assert plan.count("Window") == 3, plan.count("Window")
