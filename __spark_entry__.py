@@ -494,6 +494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r4-green rows). Tail (51+): r4-green rows, all still covered
     # locally by tests/test_oracle_parity.py.
     "dedup_span_coverage": dedup.span_coverage,
+    "dedup_span_scrub": dedup.span_scrub,
     "op_temporal_outlier": relational.temporal_outlier,
     "op_numeric_outlier_bounds": relational.numeric_outlier_bounds,
     "op_hierarchy_rollup": relational.hierarchy_rollup,
@@ -1122,6 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_split_leakage": oracles.split_leakage_oracle(),
         "dedup_lsh_verified": oracles.lsh_verified_oracle(),
         "dedup_span_coverage": oracles.span_coverage_oracle(),
+        "dedup_span_scrub": oracles.span_scrub_oracle(),
         "dedup_keep_best": f"""
             WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
             edges AS (

@@ -82,6 +82,7 @@ BENCH_QUERIES = (
     "mm_audio_decode",
     "mm_video_frames",
     "dedup_span_coverage",
+    "dedup_span_scrub",
 )
 
 

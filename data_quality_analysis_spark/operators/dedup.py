@@ -1023,3 +1023,83 @@ def span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB."""
     d = load_table(spark, sf_dir, "documents")
     return duplicated_span_coverage(d, w=8).orderBy("doc_id")
+
+
+def scrub_duplicated_spans(
+    df: DataFrame, w: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-substring dedup SCRUB — the removal half of Lee et al.
+    (:func:`duplicated_span_coverage` is the detection half, the way
+    lines.scrub_common_lines pairs with lines.common_lines): for every
+    ``w``-token span occurring ≥2 times corpus-wide, keep the first
+    occurrence (min (doc_id, pos) — a total order, so the choice is
+    deterministic and oracle-exact) and delete the tokens of every
+    other occurrence. Output is the scrubbed normalized token stream —
+    an exact duplicate pair comes back as one intact doc and one
+    empty/residual doc, while a unique page wrapping a copied paragraph
+    loses only the paragraph.
+
+    Distributed shape (no Python, no self-join on the span subtree):
+    duplicated occurrences come from the same count-window pass as
+    coverage; ``row_number() OVER (PARTITION BY span_hash ORDER BY
+    doc_id, pos)`` elects keepers; non-keeper spans explode to covered
+    token positions (w rows per occurrence — bounded by construction);
+    a left-anti join drops those positions from the token stream; and
+    per-doc ``concat_ws`` over the position-sorted survivors rebuilds
+    the text. Docs scrubbed to nothing still emit a row (left join from
+    the token totals) with ``scrubbed_text = ''`` — they're the drop
+    candidates.
+    """
+    spans = span_rows(df, w=w, text_col=text_col, id_col=id_col)
+    occ = spans.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("span_hash"))
+    ).filter(F.col("_n") >= 2)
+    rk = F.row_number().over(
+        Window.partitionBy("span_hash").orderBy("doc_id", "pos")
+    )
+    removed_pos = (
+        occ.withColumn("_rk", rk)
+        .filter(F.col("_rk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    toks = F.filter(F.split(_normalized(text_col), " ", -1), lambda x: x != "")
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    kept = exploded.join(removed_pos, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("scrubbed_text"),
+    )
+    ntok = df.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    return ntok.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("scrubbed_text"), F.lit("")).alias("scrubbed_text"),
+    )
+
+
+def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: duplicated-8-token-span scrub over the documents
+    table. Full oracle — keeper election (row_number over a total
+    order), position explosion, and the rebuild all re-derive in
+    DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return scrub_duplicated_spans(d, w=8).orderBy("doc_id")

@@ -1697,3 +1697,55 @@ SELECT nt.doc_id, nt.n_tokens,
 FROM nt LEFT JOIN cd ON nt.doc_id = cd.doc_id
 ORDER BY nt.doc_id
 """
+
+
+def span_scrub_oracle(w: int = 8) -> str:
+    """dedup.scrub_duplicated_spans: keeper election by row_number over
+    (doc_id, pos) within each duplicated span_hash, non-keeper spans
+    unnested to removed token positions, survivors re-joined with
+    string_agg ORDER BY pos."""
+    hi = w - 1
+    return rf"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(
+           coalesce(text, ''), '\s+', ' ', 'g'))), ' '), x -> x <> '') AS toks
+  FROM documents),
+pos AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - {hi} + 1)) AS i
+  FROM norm WHERE len(toks) >= {w}),
+spans AS (
+  SELECT doc_id, i - 1 AS p,
+         ('0x' || substr(md5(array_to_string(toks[i:i+{hi}], ' ')), 1, 15))::BIGINT AS h
+  FROM pos),
+occ AS (
+  SELECT doc_id, p, h FROM (
+    SELECT doc_id, p, h, count(*) OVER (PARTITION BY h) AS n FROM spans)
+  WHERE n >= 2),
+nonkeep AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rk
+    FROM occ)
+  WHERE rk >= 2),
+removed AS (
+  SELECT DISTINCT doc_id, p + unnest(range(0, {w})) AS rpos FROM nonkeep),
+tok AS (
+  SELECT doc_id, unnest(range(0, len(toks))) AS tpos, toks FROM norm),
+tok2 AS (SELECT doc_id, tpos, toks[tpos + 1] AS tk FROM tok),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.tk
+  FROM tok2 t LEFT JOIN removed r
+    ON t.doc_id = r.doc_id AND t.tpos = r.rpos
+  WHERE r.rpos IS NULL),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tk, ' ' ORDER BY tpos) AS scrubbed_text
+  FROM kept GROUP BY doc_id),
+nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM norm)
+SELECT nt.doc_id, nt.n_tokens,
+       nt.n_tokens - coalesce(rb.n_kept, 0) AS n_removed,
+       coalesce(rb.scrubbed_text, '') AS scrubbed_text
+FROM nt LEFT JOIN rebuilt rb ON nt.doc_id = rb.doc_id
+ORDER BY nt.doc_id
+"""

@@ -321,3 +321,39 @@ def test_span_coverage_within_doc_repeat_counts(spark):
     # pos 0 and pos 8 duplicate (identical windows); interleaved windows
     # (pos 1-7) are unique. Union of [0,7] and [8,15] = 16 tokens.
     assert r["dup_tokens"] == 16 and r["dup_fraction"] == 1.0
+
+
+def test_span_scrub_keeps_first_occurrence_only(spark):
+    """Scrub removes every occurrence of a duplicated span except the
+    (doc_id, pos)-minimal one: an exact dup pair collapses to one
+    intact doc + one empty doc; a shared paragraph survives only in the
+    lower-id doc; unique docs are untouched."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, "uniqueone xray " + shared + " yankee zulu"),
+        (2, "uniquetwo whiskey " + shared + " victor uniform"),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_removed"], r["scrubbed_text"])
+        for r in dedup.scrub_duplicated_spans(df, w=8).collect()
+    }
+    assert got[1] == (0, "uniqueone xray " + shared + " yankee zulu")
+    assert got[2] == (8, "uniquetwo whiskey victor uniform")
+    assert got[3] == (0, "one two three four five six seven eight nine ten")
+    assert got[4] == (10, "")  # non-keeper exact duplicate: fully scrubbed
+    assert got[5] == (0, "tiny doc")
+
+
+def test_span_scrub_within_doc_repeat(spark):
+    """A span repeated inside one document keeps its first occurrence
+    and loses the second."""
+    eight = "a1 a2 a3 a4 a5 a6 a7 a8"
+    df = spark.createDataFrame(
+        [(1, eight + " " + eight)], "doc_id long, text string"
+    )
+    [r] = dedup.scrub_duplicated_spans(df, w=8).collect()
+    assert r["n_removed"] == 8 and r["scrubbed_text"] == eight

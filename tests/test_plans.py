@@ -431,3 +431,20 @@ def test_span_coverage_single_pass_no_python(spark):
     # one doc_id lead-window + one span_hash count-window + one doc_id
     # interval sweep = exactly 3 Window operators, no more
     assert plan.count("Window") == 3, plan.count("Window")
+
+
+def test_span_scrub_no_python_bounded_joins(spark):
+    """Span scrub stays JVM-side: no Python stage, no cartesian, and
+    exactly two joins (position left-anti + token-totals left join) —
+    the duplicate detection must reuse the count-window shape, never an
+    agg+semi-join back onto the span subtree."""
+    from data_quality_analysis_spark.operators import dedup
+    from data_quality_analysis_spark.session import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(dedup.scrub_duplicated_spans(docs, w=8))
+    assert "EvalPython" not in plan, "no Python in the scrub path"
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert plan.count("Join") == 2, "anti-join + totals join only"
+    # lead window + span_hash count window + keeper row_number = 3
+    assert plan.count("Window") == 3, plan.count("Window")
