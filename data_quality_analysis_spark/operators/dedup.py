@@ -854,10 +854,16 @@ def minhash_verified_pairs(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # Prune the DOCS, not just the shingle rows: semi-joining the raw
+    # input first means the tokenize+explode+lead-window subtree — the
+    # expensive part — runs only over candidate docs (a small fraction
+    # of the corpus once banding has done its job), instead of shingling
+    # everything and discarding most rows at the join. Shingles are
+    # per-doc, so filtering before or after shingling is identical.
     sh = (
-        shingle_rows(df, n=shingle_n)
-        .join(in_play, "doc_id", "leftsemi")
-        .localCheckpoint()
+        shingle_rows(
+            df.join(in_play, "doc_id", "leftsemi"), n=shingle_n
+        ).localCheckpoint()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
