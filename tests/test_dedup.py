@@ -357,3 +357,112 @@ def test_span_scrub_within_doc_repeat(spark):
     )
     [r] = dedup.scrub_duplicated_spans(df, w=8).collect()
     assert r["n_removed"] == 8 and r["scrubbed_text"] == eight
+
+
+def _py_norm_tokens(text):
+    import re
+
+    return [
+        t
+        for t in re.sub(r"\s+", " ", (text or "")).strip().lower().split(" ")
+        if t
+    ]
+
+
+def _py_span_occurrences(docs, w):
+    spans = {}
+    for d, txt in docs:
+        ts = _py_norm_tokens(txt)
+        for i in range(len(ts) - w + 1):
+            spans.setdefault(" ".join(ts[i : i + w]), []).append((d, i))
+    return spans
+
+
+def test_span_coverage_matches_pure_python_reference(spark):
+    """Randomized (seeded) corpora over a tiny vocabulary — forcing
+    heavy span collisions — must match an independent pure-Python
+    implementation of the coverage definition exactly."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["aa", "bb", "cc", "dd"]
+    w = 3
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(40)
+    ]
+    spans = _py_span_occurrences(docs, w)
+    expect = {}
+    for d, txt in docs:
+        ts = _py_norm_tokens(txt)
+        covered = set()
+        for occ in spans.values():
+            if len(occ) >= 2:
+                for dd, p in occ:
+                    if dd == d:
+                        covered.update(range(p, p + w))
+        expect[d] = (len(ts), len(covered))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in dedup.duplicated_span_coverage(df, w=w).collect()
+    }
+    assert got == expect
+
+
+def test_span_scrub_matches_pure_python_reference(spark):
+    """Same seeded corpora: scrub must keep exactly the (doc_id, pos)-
+    minimal occurrence of each duplicated span and delete the rest,
+    per an independent pure-Python implementation."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["xx", "yy", "zz"]
+    w = 3
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10))))
+        for i in range(30)
+    ]
+    spans = _py_span_occurrences(docs, w)
+    removed = {d: set() for d, _ in docs}
+    for occ in spans.values():
+        if len(occ) >= 2:
+            for dd, p in sorted(occ)[1:]:  # all but the minimal keeper
+                removed[dd].update(range(p, p + w))
+    expect = {}
+    for d, txt in docs:
+        ts = _py_norm_tokens(txt)
+        kept = [t for i, t in enumerate(ts) if i not in removed[d]]
+        expect[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["scrubbed_text"])
+        for r in dedup.scrub_duplicated_spans(df, w=w).collect()
+    }
+    assert got == expect
+
+
+def test_span_coverage_doubling_invariant(spark):
+    """Appending an exact copy of the corpus (fresh doc_ids) makes
+    every doc with ≥ w tokens fully covered — each of its spans now
+    occurs at least twice — and scrub keeps the lower-id copy intact
+    while emptying the higher-id one (for docs unique pre-doubling)."""
+    base = [
+        (1, "one two three four five"),
+        (2, "six seven eight nine ten eleven"),
+        (3, "short"),
+    ]
+    doubled = base + [(i + 10, t) for i, t in base]
+    df = spark.createDataFrame(doubled, "doc_id long, text string")
+    cov = {
+        r["doc_id"]: r["dup_fraction"]
+        for r in dedup.duplicated_span_coverage(df, w=4).collect()
+    }
+    assert cov[1] == cov[11] == 1.0 and cov[2] == cov[12] == 1.0
+    assert cov[3] == cov[13] == 0.0  # below w: no spans, never covered
+    scr = {
+        r["doc_id"]: r["scrubbed_text"]
+        for r in dedup.scrub_duplicated_spans(df, w=4).collect()
+    }
+    assert scr[1] == base[0][1] and scr[11] == ""
+    assert scr[2] == base[1][1] and scr[12] == ""
