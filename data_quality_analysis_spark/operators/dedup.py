@@ -70,16 +70,38 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_rows(
-    df: DataFrame, n: int = 3, text_col: str = "text", distinct: bool = True
+def _stitched_rows(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Word n-gram shingles, one ROW per (doc_id, shingle).
+    """Shared n-gram stitcher: one row per (doc_id, pos, span) where
+    ``span`` is the n tokens starting at 0-based token position ``pos``.
 
     posexplode the token list, then n-1 ``lead`` windows per doc stitch
     each n-gram — every expression whole-stage-codegens (the previous
     array-of-shingles formulation ran interpreted higher-order functions
     per row and was ~10× slower). The doc_id shuffle this costs is the
     same partitioning every downstream dedup consumer needs anyway.
+    Consumers that don't need ``pos`` drop it; Catalyst prunes the
+    column, so the plan is identical to not computing it."""
+    toks = F.filter(F.split(_normalized(text_col), " ", -1), lambda x: x != "")
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    last = parts[-1]
+    return exploded.select(
+        "doc_id",
+        "pos",
+        F.when(last.isNotNull(), F.concat_ws(" ", *parts)).alias("span"),
+    ).filter(F.col("span").isNotNull())
+
+
+def shingle_rows(
+    df: DataFrame, n: int = 3, text_col: str = "text", distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles, one ROW per (doc_id, shingle) — the
+    position-less view of :func:`_stitched_rows`.
 
     ``distinct=True`` gives set semantics (required for Jaccard).
     Duplicate-insensitive consumers (MinHash: min over a multiset equals
@@ -87,15 +109,9 @@ def shingle_rows(
     shuffle — their doc_id aggregate then reuses the window's
     partitioning, so the whole signature computation is ONE exchange.
     """
-    toks = F.filter(F.split(_normalized(text_col), " ", -1), lambda x: x != "")
-    exploded = df.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    last = parts[-1]
-    rows = exploded.select(
-        "doc_id",
-        F.when(last.isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
-    ).filter(F.col("shingle").isNotNull())
+    rows = _stitched_rows(df, n, text_col).select(
+        "doc_id", F.col("span").alias("shingle")
+    )
     return rows.distinct() if distinct else rows
 
 
@@ -931,28 +947,41 @@ def span_rows(
     df: DataFrame, w: int = 8, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """One row per rolling ``w``-token window start: (doc_id, pos,
-    span_hash). Same lead-window stitching as :func:`shingle_rows` but
-    keeps the 0-based start position (coverage needs it) and hashes the
-    span to a 60-bit integer (md5→conv, the DuckDB-reproducible trick)
-    so the downstream shuffles carry (doc_id, pos, long) — never span
-    text."""
-    toks = F.filter(F.split(_normalized(text_col), " ", -1), lambda x: x != "")
-    exploded = df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+    span_hash) — :func:`_stitched_rows` with the span hashed to its
+    FULL 128-bit md5 (hex string) so the downstream shuffles carry
+    (doc_id, pos, hash), never span text.
+
+    Full md5 rather than the 60-bit md5→conv trick used by the
+    probabilistic families: :func:`scrub_duplicated_spans` DELETES
+    tokens on hash equality, and at ~1e11 spans (the 100 TB target)
+    a 60-bit space expects thousands of birthday collisions — each one
+    silently scrubbing real content, invisible to the oracle because
+    DuckDB computes the same hash. 128 bits makes the expected collision
+    count ~0 at any realistic corpus size; the wider shuffle key
+    (32 bytes vs 8) is the price of a destructive operator."""
+    return _stitched_rows(df, w, text_col, id_col).select(
+        "doc_id", "pos", F.md5("span").alias("span_hash")
     )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(win) for i in range(1, w)]
-    last = parts[-1]
-    return exploded.select(
-        "doc_id",
-        "pos",
-        F.when(
-            last.isNotNull(),
-            F.conv(
-                F.substring(F.md5(F.concat_ws(" ", *parts)), 1, 15), 16, 10
-            ).cast("long"),
-        ).alias("span_hash"),
-    ).filter(F.col("span_hash").isNotNull())
+
+
+def _duplicated_occurrences(
+    df: DataFrame, w: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Occurrences of spans that appear ≥2 times corpus-wide:
+    (doc_id, pos, span_hash) — the shared detection pass of
+    :func:`duplicated_span_coverage` and :func:`scrub_duplicated_spans`.
+    ``count() OVER (PARTITION BY span_hash)`` marks duplicates inline; a
+    count-window rather than agg+semi-join because the join would
+    exchange the span rows by hash anyway PLUS re-evaluate the whole
+    explode subtree for the second input (Spark never shares work across
+    self-join inputs — see minhash_verified_pairs), and WindowExec
+    sort-groups spill, so a pathologically hot span (a corpus-wide
+    boilerplate line) degrades to disk instead of an OOM-ing aggregate
+    buffer."""
+    spans = span_rows(df, w=w, text_col=text_col, id_col=id_col)
+    return spans.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("span_hash"))
+    ).filter(F.col("_n") >= 2)
 
 
 def duplicated_span_coverage(
@@ -972,14 +1001,9 @@ def duplicated_span_coverage(
 
     1. doc_id exchange → lead windows stitch spans (shared with every
        other shingle consumer);
-    2. span_hash exchange → ``count() OVER (PARTITION BY span_hash)``
-       marks duplicated occurrences inline. A count-window rather than
-       the agg+semi-join formulation: the join would exchange the span
-       rows by hash anyway PLUS re-evaluate the whole explode subtree
-       for the second input (Spark never shares work across self-join
-       inputs — see minhash_verified_pairs), and WindowExec sort-groups
-       spill, so a pathologically hot span (a corpus-wide boilerplate
-       line) degrades to disk instead of an OOM-ing aggregate buffer;
+    2. span_hash exchange → the :func:`_duplicated_occurrences`
+       count-window detection pass (see its docstring for why it beats
+       agg+semi-join here);
     3. doc_id exchange → classic interval-union sweep: running max of
        prior span ends, each occurrence contributes
        ``max(0, end - max(start-1, max_prev_end))`` newly-covered
@@ -988,10 +1012,7 @@ def duplicated_span_coverage(
     Token totals ride a separate narrow projection of the input (no
     shuffle) and left-join the coverage so never-duplicated docs report
     0.0, not NULL (driver hash-compare needs non-NULL markers)."""
-    spans = span_rows(df, w=w, text_col=text_col, id_col=id_col)
-    occ = spans.withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy("span_hash"))
-    ).filter(F.col("_n") >= 2)
+    occ = _duplicated_occurrences(df, w, text_col, id_col)
     sweep = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + F.lit(w - 1)).over(
         sweep.rowsBetween(Window.unboundedPreceding, -1)
@@ -1024,7 +1045,7 @@ def duplicated_span_coverage(
 
 def span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: per-document duplicated-8-token-span coverage over
-    the documents table. Full oracle — span hashing (md5-60-bit), the
+    the documents table. Full oracle — span hashing (full md5), the
     duplicate count-window, and the interval-union sweep all re-derive
     in DuckDB."""
     d = load_table(spark, sf_dir, "documents")
@@ -1056,10 +1077,7 @@ def scrub_duplicated_spans(
     the token totals) with ``scrubbed_text = ''`` — they're the drop
     candidates.
     """
-    spans = span_rows(df, w=w, text_col=text_col, id_col=id_col)
-    occ = spans.withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy("span_hash"))
-    ).filter(F.col("_n") >= 2)
+    occ = _duplicated_occurrences(df, w, text_col, id_col)
     rk = F.row_number().over(
         Window.partitionBy("span_hash").orderBy("doc_id", "pos")
     )

@@ -1657,13 +1657,13 @@ FROM totals t LEFT JOIN leaked l ON t.split = l.split
 
 
 # ------------------------------------------------- duplicated spans --
-def span_coverage_oracle(w: int = 8) -> str:
-    """dedup.duplicated_span_coverage: rolling w-token spans hashed with
-    the md5-60-bit trick, duplicated occurrences found by a count
-    window over span_hash, covered tokens by the same interval-union
-    sweep (running max of prior span ends). unnest(range(...)) rather
-    than a lateral generate_series (DuckDB can't take lateral column
-    args in table functions)."""
+def _span_prefix(w: int) -> str:
+    """Shared WITH-prefix for the span oracles: normalized token lists
+    (`norm`), per-start-position rows (`pos` — unnest(range(...)) rather
+    than a lateral generate_series, which DuckDB can't take column args
+    for), spans hashed with FULL md5 (`spans` — matching
+    dedup.span_rows; the destructive scrub must not act on a truncated
+    hash), and duplicated occurrences via a count window (`occ`)."""
     hi = w - 1
     return rf"""
 WITH norm AS (
@@ -1676,12 +1676,22 @@ pos AS (
   FROM norm WHERE len(toks) >= {w}),
 spans AS (
   SELECT doc_id, i - 1 AS p,
-         ('0x' || substr(md5(array_to_string(toks[i:i+{hi}], ' ')), 1, 15))::BIGINT AS h
+         md5(array_to_string(toks[i:i+{hi}], ' ')) AS h
   FROM pos),
 occ AS (
-  SELECT doc_id, p FROM (
-    SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS n FROM spans)
-  WHERE n >= 2),
+  SELECT doc_id, p, h FROM (
+    SELECT doc_id, p, h, count(*) OVER (PARTITION BY h) AS n FROM spans)
+  WHERE n >= 2)"""
+
+
+def span_coverage_oracle(w: int = 8) -> str:
+    """dedup.duplicated_span_coverage: the shared span prefix, then
+    covered tokens by the interval-union sweep (running max of prior
+    span ends)."""
+    hi = w - 1
+    return (
+        _span_prefix(w)
+        + rf""",
 cov AS (
   SELECT doc_id,
          greatest(0, (p + {hi}) - greatest(p - 1,
@@ -1697,31 +1707,17 @@ SELECT nt.doc_id, nt.n_tokens,
 FROM nt LEFT JOIN cd ON nt.doc_id = cd.doc_id
 ORDER BY nt.doc_id
 """
+    )
 
 
 def span_scrub_oracle(w: int = 8) -> str:
-    """dedup.scrub_duplicated_spans: keeper election by row_number over
-    (doc_id, pos) within each duplicated span_hash, non-keeper spans
-    unnested to removed token positions, survivors re-joined with
-    string_agg ORDER BY pos."""
-    hi = w - 1
-    return rf"""
-WITH norm AS (
-  SELECT doc_id,
-         list_filter(string_split(lower(trim(regexp_replace(
-           coalesce(text, ''), '\s+', ' ', 'g'))), ' '), x -> x <> '') AS toks
-  FROM documents),
-pos AS (
-  SELECT doc_id, toks, unnest(range(1, len(toks) - {hi} + 1)) AS i
-  FROM norm WHERE len(toks) >= {w}),
-spans AS (
-  SELECT doc_id, i - 1 AS p,
-         ('0x' || substr(md5(array_to_string(toks[i:i+{hi}], ' ')), 1, 15))::BIGINT AS h
-  FROM pos),
-occ AS (
-  SELECT doc_id, p, h FROM (
-    SELECT doc_id, p, h, count(*) OVER (PARTITION BY h) AS n FROM spans)
-  WHERE n >= 2),
+    """dedup.scrub_duplicated_spans: the shared span prefix, then keeper
+    election by row_number over (doc_id, pos) within each duplicated
+    span hash, non-keeper spans unnested to removed token positions,
+    survivors re-joined with string_agg ORDER BY pos."""
+    return (
+        _span_prefix(w)
+        + rf""",
 nonkeep AS (
   SELECT doc_id, p FROM (
     SELECT doc_id, p,
@@ -1749,3 +1745,4 @@ SELECT nt.doc_id, nt.n_tokens,
 FROM nt LEFT JOIN rebuilt rb ON nt.doc_id = rb.doc_id
 ORDER BY nt.doc_id
 """
+    )
